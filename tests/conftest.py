@@ -1,0 +1,15 @@
+"""Test configuration: run all tests on CPU with a virtual 8-device mesh.
+
+Multi-chip sharding tests run on a virtual CPU mesh per
+XLA_FLAGS=--xla_force_host_platform_device_count=8 (the driver separately
+dry-run-compiles the multi-chip path via __graft_entry__.dryrun_multichip).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
