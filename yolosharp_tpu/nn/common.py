@@ -1,0 +1,659 @@
+"""Conv/CSP building blocks as flax.linen modules (NHWC, TPU-native).
+
+Functional parity targets: YoloSharp/Modules/Convs.cs (Conv/Conv2/DWConv/
+LightConv/ConvTranspose/Focus/GhostConv/RepConv/CBAM/...) and
+YoloSharp/Modules/Block.cs (Bottleneck/C1/C2/C2f/C3/C3k/C3k2/SPP/SPPF/
+Proto/HG*/CIB/SCDown/RepVGGDW/...).
+
+Design notes (TPU-first, not a translation):
+ - NHWC layout end to end; convs hit the MXU directly via lax.conv.
+ - BatchNorm eps=1e-3, torch-momentum 0.03 (flax momentum 0.97) to match
+   the reference numerics (Convs.cs:41-42).
+ - Submodules carry explicit names ("cv1", "m", "0", ...) so the parameter
+   tree mirrors Ultralytics/YoloSharp state-dict names 1:1; the checkpoint
+   mapper is then a pure rename (weight->kernel + OIHW->HWIO transpose).
+ - Inference-time Conv+BN folding is a separate pure-params transform
+   (ckpt/fuse.py), not module surgery like the reference's fuse().
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+# ---------------------------------------------------------------------------
+# initializers (match torch.nn.Conv2d / Linear defaults so training-from-
+# scratch behaves like the reference)
+
+
+def torch_kernel_init(key, shape, dtype=jnp.float32):
+    """kaiming_uniform(a=sqrt(5)) on HWIO kernels == U(+-1/sqrt(fan_in))."""
+    fan_in = shape[0] * shape[1] * shape[2]
+    bound = 1.0 / math.sqrt(fan_in) if fan_in > 0 else 0.0
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+def torch_bias_init(fan_in: int) -> Callable:
+    bound = 1.0 / math.sqrt(fan_in) if fan_in > 0 else 0.0
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+def autopad(k: int, p: Optional[int] = None, d: int = 1) -> int:
+    if d > 1:
+        k = d * (k - 1) + 1
+    return k // 2 if p is None else p
+
+
+ACTS = {
+    "silu": jax.nn.silu,
+    "relu": jax.nn.relu,
+    "sigmoid": jax.nn.sigmoid,
+    "identity": lambda x: x,
+}
+
+
+class Conv2d(nn.Module):
+    """Bare torch-style conv (NHWC). Named leaf params: kernel[, bias]."""
+
+    c2: int
+    k: int = 1
+    s: int = 1
+    p: Optional[int] = None
+    g: int = 1
+    d: int = 1
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        p = autopad(self.k, self.p, self.d)
+        c1 = x.shape[-1]
+        kernel = self.param(
+            "kernel", torch_kernel_init, (self.k, self.k, c1 // self.g, self.c2))
+        y = jax.lax.conv_general_dilated(
+            x, kernel.astype(x.dtype),
+            window_strides=(self.s, self.s),
+            padding=((p, p), (p, p)),
+            rhs_dilation=(self.d, self.d),
+            feature_group_count=self.g,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if self.use_bias:
+            fan_in = self.k * self.k * (c1 // self.g)
+            bias = self.param("bias", torch_bias_init(fan_in), (self.c2,))
+            y = y + bias.astype(y.dtype)
+        return y
+
+
+class ConvBN(nn.Module):
+    """Conv + BatchNorm + activation (the reference's Convs.Conv)."""
+
+    c2: int
+    k: int = 1
+    s: int = 1
+    p: Optional[int] = None
+    g: int = 1
+    d: int = 1
+    use_bias: bool = False
+    act: str = "silu"
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = Conv2d(self.c2, self.k, self.s, self.p, self.g, self.d,
+                   use_bias=self.use_bias, name="conv")(x)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.97,
+                         epsilon=1e-3, dtype=jnp.float32, name="bn")(y)
+        return ACTS[self.act](y)
+
+
+class DWConv(ConvBN):
+    """Depthwise conv: groups = gcd(c1, c2); c1 resolved at call time."""
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        g = math.gcd(x.shape[-1], self.c2)
+        y = Conv2d(self.c2, self.k, self.s, self.p, g, self.d,
+                   use_bias=self.use_bias, name="conv")(x)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.97,
+                         epsilon=1e-3, dtype=jnp.float32, name="bn")(y)
+        return ACTS[self.act](y)
+
+
+class LightConv(nn.Module):
+    """1x1 conv (no act) + depthwise k conv (ReLU). Convs.cs:119-134."""
+
+    c2: int
+    k: int = 1
+    act: str = "relu"
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = ConvBN(self.c2, 1, act="identity", name="conv1")(x, train)
+        return DWConv(self.c2, self.k, act=self.act, name="conv2")(y, train)
+
+
+class ConvTranspose2dRaw(nn.Module):
+    """Bare torch-semantics ConvTranspose2d as a dilated conv.
+
+    Exact equivalence: convT(x, W, s, p) == conv(dilate_s(x), flip(W),
+    pad=k-1-p). Kernel stored HWIO (kh, kw, cin, cout).
+    """
+
+    c2: int
+    k: int = 2
+    s: int = 2
+    p: int = 0
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        c1 = x.shape[-1]
+        kernel = self.param("kernel", torch_kernel_init,
+                            (self.k, self.k, c1, self.c2))
+        pad = self.k - 1 - self.p
+        y = jax.lax.conv_general_dilated(
+            x, jnp.flip(kernel, axis=(0, 1)).astype(x.dtype),
+            window_strides=(1, 1), padding=((pad, pad), (pad, pad)),
+            lhs_dilation=(self.s, self.s),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        if self.use_bias:
+            bias = self.param("bias", torch_bias_init(c1 * self.k * self.k),
+                              (self.c2,))
+            y = y + bias.astype(y.dtype)
+        return y
+
+
+class ConvTranspose(nn.Module):
+    """ConvTranspose2d + optional BN + act. Convs.cs:157-182."""
+
+    c2: int
+    k: int = 2
+    s: int = 2
+    p: int = 0
+    bn: bool = True
+    act: str = "silu"
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = ConvTranspose2dRaw(self.c2, self.k, self.s, self.p,
+                               use_bias=not self.bn, name="conv_transpose")(x)
+        if self.bn:
+            y = nn.BatchNorm(use_running_average=not train, momentum=0.97,
+                             epsilon=1e-3, dtype=jnp.float32, name="bn")(y)
+        return ACTS[self.act](y)
+
+
+class Focus(nn.Module):
+    """Space-to-channel stem (2x2 pixel de-interleave) + Conv. Convs.cs:187-206."""
+
+    c2: int
+    k: int = 1
+    s: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        patches = jnp.concatenate([
+            x[:, ::2, ::2], x[:, 1::2, ::2], x[:, ::2, 1::2], x[:, 1::2, 1::2],
+        ], axis=-1)
+        return ConvBN(self.c2, self.k, self.s, name="conv")(patches, train)
+
+
+class GhostConv(nn.Module):
+    """Ghost convolution (half primary, half cheap depthwise). Convs.cs:211-228."""
+
+    c2: int
+    k: int = 1
+    s: int = 1
+    act: str = "silu"
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = self.c2 // 2
+        y = ConvBN(c_, self.k, self.s, act=self.act, name="cv1")(x, train)
+        y2 = ConvBN(c_, 5, 1, g=c_, act=self.act, name="cv2")(y, train)
+        return jnp.concatenate([y, y2], axis=-1)
+
+
+class RepConv(nn.Module):
+    """Training-mode RepVGG conv: 3x3 + 1x1 (+ optional identity BN).
+
+    Convs.cs:233-359. Deploy-time branch fusion is a params transform in
+    ckpt/fuse.py (fuse_repconv), not a module mode switch.
+    """
+
+    c2: int
+    k: int = 3
+    s: int = 1
+    g: int = 1
+    use_bn: bool = False
+    act: str = "silu"
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = ConvBN(self.c2, 3, self.s, 1, self.g, act="identity",
+                   name="conv1")(x, train)
+        y = y + ConvBN(self.c2, 1, self.s, 0, self.g, act="identity",
+                       name="conv2")(x, train)
+        if self.use_bn and x.shape[-1] == self.c2 and self.s == 1:
+            y = y + nn.BatchNorm(use_running_average=not train, momentum=0.97,
+                                 epsilon=1e-3, dtype=jnp.float32, name="bn")(x)
+        return ACTS[self.act](y)
+
+
+class ChannelAttention(nn.Module):
+    """Squeeze-excite channel gate. Convs.cs:365-382."""
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        pooled = x.mean(axis=(1, 2), keepdims=True)
+        gate = Conv2d(x.shape[-1], 1, use_bias=True, name="fc")(pooled)
+        return x * jax.nn.sigmoid(gate)
+
+
+class SpatialAttention(nn.Module):
+    """Mean/max-channel spatial gate. Convs.cs:387-410."""
+
+    kernel_size: int = 7
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        stats = jnp.concatenate(
+            [x.mean(-1, keepdims=True), x.max(-1, keepdims=True)], axis=-1)
+        gate = Conv2d(1, self.kernel_size, use_bias=False, name="cv1")(stats)
+        return x * jax.nn.sigmoid(gate)
+
+
+class CBAM(nn.Module):
+    """Convolutional Block Attention Module. Convs.cs:415-430."""
+
+    kernel_size: int = 7
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = ChannelAttention(name="channel_attention")(x, train)
+        return SpatialAttention(self.kernel_size, name="spatial_attention")(x, train)
+
+
+class Bottleneck(nn.Module):
+    """Standard bottleneck. Block.cs:572-608."""
+
+    c2: int
+    shortcut: bool = True
+    g: int = 1
+    k: Tuple[int, int] = (3, 3)
+    e: float = 0.5
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c2 * self.e)
+        y = ConvBN(c_, self.k[0], 1, name="cv1")(x, train)
+        y = ConvBN(self.c2, self.k[1], 1, g=self.g, name="cv2")(y, train)
+        return x + y if self.shortcut and x.shape[-1] == self.c2 else y
+
+
+class GhostBottleneck(nn.Module):
+    """Ghost bottleneck. Block.cs:540-567."""
+
+    c2: int
+    k: int = 3
+    s: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = self.c2 // 2
+        y = GhostConv(c_, 1, 1, name="conv.0")(x, train)
+        if self.s == 2:
+            y = DWConv(c_, self.k, self.s, act="identity", name="conv.1")(y, train)
+        y = GhostConv(self.c2, 1, 1, act="identity", name="conv.2")(y, train)
+        if self.s == 2:
+            sc = DWConv(x.shape[-1], self.k, self.s, act="identity",
+                        name="shortcut.0")(x, train)
+            sc = ConvBN(self.c2, 1, 1, act="identity", name="shortcut.1")(sc, train)
+        else:
+            sc = x
+        return y + sc
+
+
+def max_pool_same(x, k: int, s: int = 1):
+    """MaxPool with torch 'pad k//2' semantics (pads with -inf)."""
+    p = k // 2
+    return nn.max_pool(x, (k, k), strides=(s, s), padding=((p, p), (p, p)))
+
+
+class SPP(nn.Module):
+    """Spatial pyramid pooling. Block.cs:195-231."""
+
+    c2: int
+    k: Tuple[int, ...] = (5, 9, 13)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = x.shape[-1] // 2
+        y = ConvBN(c_, 1, 1, name="cv1")(x, train)
+        pools = [y] + [max_pool_same(y, kk) for kk in self.k]
+        return ConvBN(self.c2, 1, 1, name="cv2")(jnp.concatenate(pools, -1), train)
+
+
+class SPPF(nn.Module):
+    """SPP-Fast: chained maxpools. Block.cs:236-285.
+
+    NOTE the reference's cv1 has Identity activation (Block.cs:257) — an
+    intentional deviation from Ultralytics kept for output parity.
+    """
+
+    c2: int
+    k: int = 5
+    n: int = 3
+    shortcut: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = x.shape[-1] // 2
+        y = [ConvBN(c_, 1, 1, act="identity", name="cv1")(x, train)]
+        for _ in range(self.n):
+            y.append(max_pool_same(y[-1], self.k))
+        out = ConvBN(self.c2, 1, 1, name="cv2")(jnp.concatenate(y, -1), train)
+        return out + x if self.shortcut and x.shape[-1] == self.c2 else out
+
+
+class C1(nn.Module):
+    """CSP bottleneck, 1 conv. Block.cs:290-320.
+
+    NOTE: the reference builds exactly one inner conv regardless of n
+    (Block.cs:306 iterates Range(0, 1)); mirrored for parity.
+    """
+
+    c2: int
+    n: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = ConvBN(self.c2, 1, 1, name="cv1")(x, train)
+        z = ConvBN(self.c2, 3, name="m.0")(y, train)
+        return z + y
+
+
+class C2(nn.Module):
+    """CSP bottleneck, 2 convs. Block.cs:325-366."""
+
+    c2: int
+    n: int = 1
+    shortcut: bool = True
+    g: int = 1
+    e: float = 0.5
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = int(self.c2 * self.e)
+        y = ConvBN(2 * c, 1, 1, name="cv1")(x, train)
+        a, b = jnp.split(y, 2, axis=-1)
+        for i in range(self.n):
+            a = Bottleneck(c, self.shortcut, self.g, (3, 3), 1.0,
+                           name=f"m.{i}")(a, train)
+        return ConvBN(self.c2, 1, name="cv2")(jnp.concatenate([a, b], -1), train)
+
+
+class C2f(nn.Module):
+    """Fast CSP bottleneck with n cascaded splits. Block.cs:371-399."""
+
+    c2: int
+    n: int = 1
+    shortcut: bool = False
+    g: int = 1
+    e: float = 0.5
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = int(self.c2 * self.e)
+        y = list(jnp.split(ConvBN(2 * c, 1, 1, name="cv1")(x, train), 2, axis=-1))
+        for i in range(self.n):
+            # NOTE: e=1.0 matches the reference's C# argument-order quirk
+            # (Block.cs:383 `e = 1.0f` assignment inside the ctor call).
+            y.append(Bottleneck(c, self.shortcut, self.g, (3, 3), 1.0,
+                                name=f"m.{i}")(y[-1], train))
+        return ConvBN(self.c2, 1, name="cv2")(jnp.concatenate(y, -1), train)
+
+
+class C3(nn.Module):
+    """CSP bottleneck, 3 convs. Block.cs:404-442."""
+
+    c2: int
+    n: int = 1
+    shortcut: bool = True
+    g: int = 1
+    e: float = 0.5
+    m_kernels: Tuple[int, int] = (1, 3)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c2 * self.e)
+        a = ConvBN(c_, 1, 1, name="cv1")(x, train)
+        for i in range(self.n):
+            a = Bottleneck(c_, self.shortcut, self.g, self.m_kernels, 1.0,
+                           name=f"m.{i}")(a, train)
+        b = ConvBN(c_, 1, 1, name="cv2")(x, train)
+        return ConvBN(self.c2, 1, name="cv3")(jnp.concatenate([a, b], -1), train)
+
+
+class C3x(C3):
+    """C3 with (1,3) kernels — identical to the reference override
+    (Block.cs:444-454, which re-registers the same Bottleneck stack)."""
+
+
+class C3k(C3):
+    """C3 with (3,3) bottleneck kernels. Block.cs:611-620."""
+
+    m_kernels: Tuple[int, int] = (3, 3)
+
+
+class RepC3(nn.Module):
+    """Rep-style C3. Block.cs:459-494."""
+
+    c2: int
+    n: int = 3
+    e: float = 1.0
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c2 * self.e)
+        a = ConvBN(c_, 1, 1, name="cv1")(x, train)
+        for i in range(self.n):
+            a = RepConv(c_, name=f"m.{i}")(a, train)
+        b = ConvBN(c_, 1, 1, name="cv2")(x, train)
+        y = a + b
+        if c_ != self.c2:
+            y = ConvBN(self.c2, 1, 1, name="cv3")(y, train)
+        return y
+
+
+class C3Ghost(nn.Module):
+    """C3 with GhostBottleneck stack. Block.cs:525-535."""
+
+    c2: int
+    n: int = 1
+    shortcut: bool = True
+    g: int = 1
+    e: float = 0.5
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c2 * self.e)
+        a = ConvBN(c_, 1, 1, name="cv1")(x, train)
+        for i in range(self.n):
+            a = GhostBottleneck(c_, name=f"m.{i}")(a, train)
+        b = ConvBN(c_, 1, 1, name="cv2")(x, train)
+        return ConvBN(self.c2, 1, name="cv3")(jnp.concatenate([a, b], -1), train)
+
+
+class C3k2(nn.Module):
+    """C2f whose inner blocks are C3k or Bottleneck. Block.cs:623-662."""
+
+    c2: int
+    n: int = 1
+    c3k: bool = False
+    e: float = 0.5
+    g: int = 1
+    shortcut: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = int(self.c2 * self.e)
+        y = list(jnp.split(ConvBN(2 * c, 1, 1, name="cv1")(x, train), 2, axis=-1))
+        for i in range(self.n):
+            if self.c3k:
+                y.append(C3k(c, 2, self.shortcut, self.g, name=f"m.{i}")(y[-1], train))
+            else:
+                y.append(Bottleneck(c, self.shortcut, self.g, (3, 3), 0.5,
+                                    name=f"m.{i}")(y[-1], train))
+        return ConvBN(self.c2, 1, name="cv2")(jnp.concatenate(y, -1), train)
+
+
+class SCDown(nn.Module):
+    """Separable downsample (v10-style). Block.cs:812-827."""
+
+    c2: int
+    k: int
+    s: int
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = ConvBN(self.c2, 1, 1, name="cv1")(x, train)
+        return ConvBN(self.c2, self.k, self.s, g=self.c2, name="cv2")(y, train)
+
+
+class RepVGGDW(nn.Module):
+    """Dual-branch depthwise 7x7 + 3x3. Block.cs:1120-1139."""
+
+    ed: int
+    act: str = "silu"
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        a = ConvBN(self.ed, 7, 1, 3, g=self.ed, act=self.act, name="conv")(x, train)
+        b = ConvBN(self.ed, 3, 1, 1, g=self.ed, act=self.act, name="conv1")(x, train)
+        return ACTS["silu"](a + b)
+
+
+class CIB(nn.Module):
+    """Conditional identity block. Block.cs:861-883."""
+
+    c2: int
+    shortcut: bool = True
+    e: float = 0.5
+    lk: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c1 = x.shape[-1]
+        c = int(self.c2 * self.e)
+        y = ConvBN(c1, 3, g=c1, name="cv1.0")(x, train)
+        y = ConvBN(2 * c, 1, name="cv1.1")(y, train)
+        if self.lk:
+            y = RepVGGDW(2 * c, name="cv1.2")(y, train)
+        else:
+            y = ConvBN(2 * c, 3, g=2 * c, name="cv1.2")(y, train)
+        y = ConvBN(self.c2, 1, name="cv1.3")(y, train)
+        y = ConvBN(self.c2, 3, g=self.c2, name="cv1.4")(y, train)
+        return x + y if self.shortcut and c1 == self.c2 else y
+
+
+class C2fCIB(nn.Module):
+    """C2f with CIB blocks. Block.cs:829-859."""
+
+    c2: int
+    n: int = 1
+    shortcut: bool = False
+    lk: bool = False
+    e: float = 0.5
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = int(self.c2 * self.e)
+        y = list(jnp.split(ConvBN(2 * c, 1, 1, name="cv1")(x, train), 2, axis=-1))
+        for i in range(self.n):
+            y.append(CIB(c, self.shortcut, 1.0, self.lk, name=f"m.{i}")(y[-1], train))
+        return ConvBN(self.c2, 1, name="cv2")(jnp.concatenate(y, -1), train)
+
+
+class HGStem(nn.Module):
+    """PPHGNetV2 stem. Block.cs:90-137."""
+
+    cm: int
+    c2: int
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = ConvBN(self.cm, 3, 2, act="relu", name="stem1")(x, train)
+        x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+        x2 = ConvBN(self.cm // 2, 2, 1, 0, act="relu", name="stem2a")(x, train)
+        x2 = jnp.pad(x2, ((0, 0), (0, 1), (0, 1), (0, 0)))
+        x2 = ConvBN(self.cm, 2, 1, 0, act="relu", name="stem2b")(x2, train)
+        x1 = nn.max_pool(x, (2, 2), strides=(1, 1))
+        x = jnp.concatenate([x1, x2], axis=-1)
+        x = ConvBN(self.cm, 3, 2, act="relu", name="stem3")(x, train)
+        return ConvBN(self.c2, 1, 1, act="relu", name="stem4")(x, train)
+
+
+class HGBlock(nn.Module):
+    """PPHGNetV2 block. Block.cs:143-189."""
+
+    cm: int
+    c2: int
+    k: int = 3
+    n: int = 6
+    lightconv: bool = False
+    shortcut: bool = False
+    act: str = "relu"
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = [x]
+        for i in range(self.n):
+            block = (LightConv(self.cm, self.k, act=self.act, name=f"m.{i}")
+                     if self.lightconv else
+                     ConvBN(self.cm, self.k, act=self.act, name=f"m.{i}"))
+            y.append(block(y[-1], train))
+        out = ConvBN(self.c2 // 2, 1, 1, act=self.act, name="sc")(
+            jnp.concatenate(y, -1), train)
+        out = ConvBN(self.c2, 1, 1, act=self.act, name="ec")(out, train)
+        return out + x if self.shortcut and x.shape[-1] == self.c2 else out
+
+
+class Proto(nn.Module):
+    """Segmentation prototype head. Block.cs:51-84."""
+
+    c_: int = 256
+    c2: int = 32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = ConvBN(self.c_, 3, name="cv1")(x, train)
+        y = ConvTranspose2dRaw(self.c_, 2, 2, 0, name="upsample")(y)
+        y = ConvBN(self.c_, 3, name="cv2")(y, train)
+        return ConvBN(self.c2, 1, name="cv3")(y, train)
+
+
+class AGLU(nn.Module):
+    """Adaptive Gated Linear Unit activation: exp((1/lam) * softplus_{beta=-1}
+    (kappa*x - log lam)) with learnable scalars. Activation.cs:15-38."""
+
+    @nn.compact
+    def __call__(self, x):
+        lambd = self.param("lambd", nn.initializers.uniform(1.0), (1,))
+        kappa = self.param("kappa", nn.initializers.uniform(1.0), (1,))
+        lam = jnp.clip(lambd, 0.0001)
+        # torch Softplus(beta=-1): (1/beta) * log(1 + exp(beta*x)) = -log1p(exp(-x))
+        gate = -jnp.log1p(jnp.exp(-(kappa * x - jnp.log(lam))))
+        return jnp.exp(gate / lam)
+
+
+def upsample2x(x):
+    """Nearest-neighbor 2x upsample (exact torch Upsample nearest)."""
+    return jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
