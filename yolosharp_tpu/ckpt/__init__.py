@@ -1,0 +1,23 @@
+from .binio import load_bin, save_bin
+from .mapping import (LoadReport, clone_one2one, flatten, head_index,
+                      skip_patterns_for_nc_mismatch, state_dict_to_variables,
+                      unflatten, variables_to_state_dict)
+from .pickle_pt import load_pt
+from .safetensors_io import load_safetensors, save_safetensors
+
+
+def load_state_dict_file(path: str):
+    """Auto-detect checkpoint format by extension/magic and load it."""
+    if path.endswith(".safetensors"):
+        return load_safetensors(path)
+    if path.endswith((".pt", ".pth")):
+        return load_pt(path)
+    return load_bin(path)
+
+
+__all__ = [
+    "load_bin", "save_bin", "load_pt", "load_safetensors", "save_safetensors",
+    "load_state_dict_file", "LoadReport", "clone_one2one", "flatten",
+    "head_index", "skip_patterns_for_nc_mismatch", "state_dict_to_variables",
+    "unflatten", "variables_to_state_dict",
+]
