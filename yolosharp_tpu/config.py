@@ -1,0 +1,92 @@
+"""Training/prediction configuration.
+
+Parity target: Data/Config.cs:10-355 (~45 hyperparameters, same defaults).
+TPU-specific additions at the bottom (max_labels padding, mesh axes, compute
+dtype policy).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Optional, Tuple
+
+from .types import (AutoAugmentType, ImageProcessType, ScalarType, TaskType,
+                    YoloSize, YoloType)
+
+
+@dataclasses.dataclass
+class Config:
+    root_path: str = "Assets/DataSets/coco128"
+    train_data_path: str = "train.txt"
+    val_data_path: str = "val.txt"
+    output_path: str = ""
+
+    image_size: int = 640
+    batch_size: int = 16
+    number_class: int = 80
+    epochs: int = 100
+    predict_threshold: float = 0.3
+    iou_threshold: float = 0.7
+    learning_rate: float = 1e-4
+    use_cos_lr: bool = False
+    lrf: float = 0.01
+    workers: int = min((os.cpu_count() or 8) // 2, 4)
+
+    yolo_type: YoloType = YoloType.v8
+    yolo_size: YoloSize = YoloSize.n
+    task_type: TaskType = TaskType.detect
+    scalar_type: ScalarType = ScalarType.float32
+    image_process_type: ImageProcessType = ImageProcessType.mosaic
+
+    patience: int = 50
+    keypoint_num: int = 17
+    keypoint_dim: int = 3
+
+    hsv_v: float = 0.4
+    hsv_s: float = 0.7
+    hsv_h: float = 0.015
+    mask_ratio: int = 4
+    mosaic: float = 1.0
+    mosaic_count: int = 4
+    degrees: float = 0.0
+    translate: float = 0.1
+    scale: float = 0.5
+    shear: float = 0.0
+    perspective: float = 0.0
+    flip_lr: float = 0.5
+    flip_ud: float = 0.0
+
+    classify_ratio_max: float = 4.0 / 3
+    classify_ratio_min: float = 0.75
+    classify_scale_max: float = 1.0
+    classify_scale_min: float = 0.08
+    erasing: float = 0.4
+    auto_augment: AutoAugmentType = AutoAugmentType.autoaugment
+
+    warm_up_epochs: int = 3
+    warm_up_bias_lr: float = 0.1
+    close_mosaic: int = 0
+    end2end: bool = True
+
+    # ---- TPU-native additions (no reference counterpart) ----
+    max_labels: Optional[int] = None   # per-image gt padding (None = auto)
+    mesh_shape: Optional[Tuple[int, ...]] = None  # data-parallel mesh (auto)
+    cache_images: bool = True          # eager RAM cache like the reference
+
+    @property
+    def compute_dtype(self):
+        import jax.numpy as jnp
+
+        if self.scalar_type == ScalarType.float32:
+            return jnp.float32
+        # fp16 requested -> bf16 (native on TPU, no loss-scaling needed)
+        return jnp.bfloat16
+
+    @property
+    def kpt_shape(self) -> Tuple[int, int]:
+        return (self.keypoint_num, self.keypoint_dim)
+
+    def describe(self) -> str:
+        return "\n".join(f"{f.name}: {getattr(self, f.name)}"
+                         for f in dataclasses.fields(self))

@@ -1,0 +1,213 @@
+"""Dataset orchestration: per-index transform pipelines + fixed-shape batch
+collation for the jitted train/eval steps.
+
+Functional parity targets: Data/YoloDataset.cs:57-99 (transform composition,
+CloseMosaic), Data/YoloDataLoader.cs:18-44 (collation — here to padded
+static shapes instead of ragged concat), Data/ClassificationDataset.cs.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ..config import Config
+from ..types import ImageProcessType, TaskType
+from . import augment as A
+from .labels import LabelRecord, load_labels
+
+
+class YoloDataset:
+    """Detection-family dataset with the reference's augment pipeline."""
+
+    def __init__(self, config: Config, is_val: bool = False,
+                 use_rectangle: bool = False, seed: int = 0):
+        self.config = config
+        self.is_val = is_val
+        self.task = config.task_type
+        self.records = load_labels(config, is_val=is_val,
+                                   use_rectangle=use_rectangle)
+        self.rng = np.random.default_rng(seed)
+        self.mosaic_closed = False
+
+    def __len__(self) -> int:
+        return len(self.records)
+
+    @property
+    def max_label_count(self) -> int:
+        base = max((len(r.cls) for r in self.records), default=1)
+        mult = (4 if (not self.is_val and not self.mosaic_closed
+                      and self.config.image_process_type
+                      == ImageProcessType.mosaic) else 1)
+        n = max(base * mult, 8)
+        return int(math.ceil(n / 8) * 8)
+
+    def close_mosaic(self, closed: bool = True) -> None:
+        self.mosaic_closed = closed
+
+    def get(self, index: int) -> LabelRecord:
+        cfg = self.config
+        rec = self.records[index].copy()
+        if self.is_val:
+            return A.rectangle(rec, cfg.mask_ratio)
+
+        use_mosaic = (cfg.image_process_type == ImageProcessType.mosaic
+                      and not self.mosaic_closed)
+        if use_mosaic and self.rng.uniform() <= cfg.mosaic:
+            picks = [self.records[int(i)] for i in
+                     self.rng.integers(0, len(self.records) - 1, 3)]
+            rec = A.mosaic4(rec, picks, cfg.image_size, self.rng)
+            rec = A.random_perspective(rec, cfg.degrees, cfg.translate,
+                                       cfg.scale, cfg.shear, cfg.perspective,
+                                       self.rng)
+        else:
+            rec = A.letterbox(rec, cfg.image_size, cfg.image_size,
+                              cfg.mask_ratio)
+        if cfg.flip_lr > 0 and self.rng.uniform() <= cfg.flip_lr:
+            rec = A.flip_lr(rec)
+        if cfg.flip_ud > 0 and self.rng.uniform() <= cfg.flip_ud:
+            rec = A.flip_ud(rec)
+        rec = A.random_hsv(rec, cfg.hsv_h, cfg.hsv_s, cfg.hsv_v, self.rng)
+        return rec
+
+    def collate(self, recs: List[LabelRecord], max_labels: int
+                ) -> Dict[str, np.ndarray]:
+        """Stack transformed records into one padded batch dict."""
+        cfg = self.config
+        b = len(recs)
+        h, w = recs[0].img.shape[:2]
+        nbox = 5 if self.task == TaskType.obb else 4
+
+        images = np.stack([r.img for r in recs]).astype(np.float32) / 255.0
+        cls = np.zeros((b, max_labels), np.int32)
+        bboxes = np.zeros((b, max_labels, nbox), np.float32)
+        mask_gt = np.zeros((b, max_labels), bool)
+        out = {"images": images, "cls": cls, "bboxes": bboxes,
+               "mask_gt": mask_gt}
+
+        if self.task == TaskType.pose:
+            out["keypoints"] = np.zeros(
+                (b, max_labels, cfg.keypoint_num, cfg.keypoint_dim),
+                np.float32)
+        if self.task == TaskType.segment:
+            out["masks"] = np.stack([
+                r.mask if r.mask is not None else
+                np.zeros((h // cfg.mask_ratio, w // cfg.mask_ratio), np.uint8)
+                for r in recs]).astype(np.float32)
+
+        for i, r in enumerate(recs):
+            n = min(len(r.cls), max_labels)
+            if n == 0:
+                continue
+            cls[i, :n] = r.cls[:n].astype(np.int32)
+            mask_gt[i, :n] = True
+            if self.task == TaskType.obb:
+                from ..ops.boxes import xyxyxyxy2xywhr
+
+                xywhr = xyxyxyxy2xywhr(r.obb_corners[:n])
+                xywhr[:, 0] /= w
+                xywhr[:, 1] /= h
+                xywhr[:, 2] /= w
+                xywhr[:, 3] /= h
+                bboxes[i, :n] = xywhr
+            else:
+                bb = r.bboxes[:n]
+                cxy = (bb[:, :2] + bb[:, 2:]) / 2
+                wh = bb[:, 2:] - bb[:, :2]
+                bboxes[i, :n, :2] = cxy / [w, h]
+                bboxes[i, :n, 2:4] = wh / [w, h]
+            if self.task == TaskType.pose and r.keypoints is not None:
+                k = r.keypoints[:n].copy()
+                k[..., 0] /= w
+                k[..., 1] /= h
+                out["keypoints"][i, :n] = k
+        return out
+
+
+class ClassificationDataset:
+    """Folder-per-class classification dataset (ClassificationDataset.cs)."""
+
+    def __init__(self, config: Config, is_val: bool = False, seed: int = 0):
+        self.config = config
+        self.is_val = is_val
+        from .labels import get_img_files
+
+        root = os.path.abspath(os.path.join(
+            config.root_path,
+            config.val_data_path if is_val else config.train_data_path))
+        if not os.path.isdir(root) and not os.path.isfile(root):
+            root = os.path.abspath(config.root_path)
+        files = get_img_files(root)
+        # class name = parent directory name (folder-per-class convention)
+        self.classes = sorted({os.path.basename(os.path.dirname(p))
+                               for p in files})
+        cindex = {c: i for i, c in enumerate(self.classes)}
+        self.samples = [(p, cindex[os.path.basename(os.path.dirname(p))])
+                        for p in files]
+        if not self.samples:
+            raise FileNotFoundError(f"no classification data in {root}")
+        self.rng = np.random.default_rng(seed)
+
+    def __len__(self):
+        return len(self.samples)
+
+    def close_mosaic(self, closed: bool = True) -> None:
+        pass
+
+    @property
+    def max_label_count(self) -> int:
+        return 1
+
+    def get(self, index: int) -> Dict[str, np.ndarray]:
+        import cv2
+
+        cfg = self.config
+        path, ci = self.samples[index]
+        img = cv2.cvtColor(cv2.imread(path, cv2.IMREAD_COLOR),
+                           cv2.COLOR_BGR2RGB)
+        s = cfg.image_size
+        if self.is_val:
+            # resize short side then center crop
+            h, w = img.shape[:2]
+            r = s / min(h, w)
+            img = cv2.resize(img, (max(s, int(w * r)), max(s, int(h * r))))
+            h, w = img.shape[:2]
+            top, left = (h - s) // 2, (w - s) // 2
+            img = img[top:top + s, left:left + s]
+        else:
+            # RandomResizedCrop (ClassificationDataset.cs:90-131)
+            h, w = img.shape[:2]
+            area = h * w
+            for _ in range(10):
+                ta = area * self.rng.uniform(cfg.classify_scale_min,
+                                             cfg.classify_scale_max)
+                ar = math.exp(self.rng.uniform(
+                    math.log(cfg.classify_ratio_min),
+                    math.log(cfg.classify_ratio_max)))
+                cw = int(round(math.sqrt(ta * ar)))
+                chh = int(round(math.sqrt(ta / ar)))
+                if 0 < cw <= w and 0 < chh <= h:
+                    left = int(self.rng.integers(0, w - cw + 1))
+                    top = int(self.rng.integers(0, h - chh + 1))
+                    img = img[top:top + chh, left:left + cw]
+                    break
+            img = cv2.resize(img, (s, s), interpolation=cv2.INTER_LINEAR)
+            if self.rng.uniform() < 0.5:
+                img = img[:, ::-1]
+            if cfg.erasing > 0 and self.rng.uniform() < cfg.erasing:
+                eh = int(s * self.rng.uniform(0.05, 0.2))
+                ew = int(s * self.rng.uniform(0.05, 0.2))
+                et = int(self.rng.integers(0, s - eh))
+                el = int(self.rng.integers(0, s - ew))
+                img = img.copy()
+                img[et:et + eh, el:el + ew] = self.rng.integers(
+                    0, 256, (eh, ew, 3), np.uint8)
+        return {"image": np.ascontiguousarray(img), "cls": ci}
+
+    def collate(self, items, max_labels: int) -> Dict[str, np.ndarray]:
+        images = np.stack([it["image"] for it in items]).astype(np.float32) / 255.0
+        cls = np.asarray([it["cls"] for it in items], np.int32)
+        return {"images": images, "cls": cls}

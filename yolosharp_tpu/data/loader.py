@@ -1,0 +1,88 @@
+"""Prefetching data loader: thread-pool sample transforms + background batch
+assembly feeding the jitted step functions.
+
+Functional parity target: Data/YoloDataLoader.cs:6-45 (multi-worker shuffle
+loader with custom collate). Here batches are padded static-shape numpy
+dicts, assembled ahead of time in a background thread so host augmentation
+overlaps device compute (the TPU analogue of the reference's worker
+threads + device move).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+
+class DataLoader:
+    def __init__(self, dataset, batch_size: int, shuffle: bool = True,
+                 workers: int = 4, max_labels: Optional[int] = None,
+                 drop_last: bool = False, prefetch: int = 2, seed: int = 0):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.workers = max(1, workers)
+        self.drop_last = drop_last
+        self.prefetch = prefetch
+        self.rng = np.random.default_rng(seed)
+        self._max_labels = max_labels
+
+    @property
+    def max_labels(self) -> int:
+        return self._max_labels or self.dataset.max_label_count
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _batches(self):
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            self.rng.shuffle(order)
+        for start in range(0, n, self.batch_size):
+            idx = order[start:start + self.batch_size]
+            if len(idx) < self.batch_size:
+                if self.drop_last:
+                    return
+                # right-pad the final batch by wrapping (keeps shapes static)
+                pad = self.batch_size - len(idx)
+                idx = np.concatenate([idx, order[:pad]])
+            yield idx
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        ml = self.max_labels
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def produce():
+            try:
+                with ThreadPoolExecutor(self.workers) as pool:
+                    for idx in self._batches():
+                        if stop.is_set():
+                            break
+                        recs = list(pool.map(self.dataset.get, idx))
+                        q.put(self.dataset.collate(recs, ml))
+            except Exception as exc:  # surface worker errors to consumer
+                q.put(exc)
+            finally:
+                q.put(None)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+        finally:
+            stop.set()
