@@ -1,0 +1,217 @@
+"""End-to-end smoke tests: tiny train loops + predict for each task.
+
+These mirror the reference's only verification strategy (the demo as a
+smoke test, SURVEY.md §4) but automated: a couple of optimizer steps on the
+bundled fixture datasets must run, produce finite losses, save/load
+checkpoints, and predict without error.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from yolosharp_tpu import Config, TaskType, YoloSize, YoloType
+from yolosharp_tpu.types import ImageProcessType
+
+ASSETS = "/root/reference/YoloSharpDemo/Assets/DataSets"
+needs_assets = pytest.mark.skipif(not os.path.isdir(ASSETS),
+                                  reason="reference datasets not mounted")
+
+
+def _subset_dataset(cls, config, n=8, **kw):
+    ds = cls(config, **kw)
+    ds.records = ds.records[:n]
+    return ds
+
+
+def _tiny_cfg(**kw):
+    base = dict(root_path=os.path.join(ASSETS, "coco128"),
+                train_data_path="train.txt", val_data_path="val.txt",
+                image_size=96, batch_size=2, number_class=80, epochs=2,
+                workers=2, end2end=False, close_mosaic=0,
+                image_process_type=ImageProcessType.letterbox)
+    base.update(kw)
+    return Config(**base)
+
+
+def _run_steps(task_obj, cfg, n_steps=2, n_images=4):
+    """A few optimizer steps without the full train() loop."""
+    import jax
+
+    from yolosharp_tpu.data import DataLoader, YoloDataset
+    from yolosharp_tpu.train import TrainState, make_optimizer, \
+        make_train_step
+
+    ds = YoloDataset(cfg, is_val=False)
+    ds.records = ds.records[:n_images]
+    dl = DataLoader(ds, cfg.batch_size, workers=2, seed=0)
+    loss_fn, _ = task_obj._loss_fns()
+    tx = make_optimizer(nc=cfg.number_class, epochs=cfg.epochs,
+                        steps_per_epoch=len(dl))
+    state = TrainState.create(task_obj._ensure_variables(), tx)
+    step = make_train_step(task_obj.net, loss_fn, donate=False)
+    losses = []
+    it = iter(dl)
+    for _ in range(n_steps):
+        batch = next(it)
+        state, loss, items = step(state, batch, task_obj._loss_kwargs(1))
+        losses.append(float(loss))
+    assert all(np.isfinite(l) for l in losses), losses
+    task_obj.variables = state.variables
+    return losses
+
+
+@needs_assets
+def test_detect_train_steps_and_predict(tmp_path):
+    cfg = _tiny_cfg()
+    from yolosharp_tpu.tasks import Detector
+
+    det = Detector(cfg)
+    losses = _run_steps(det, cfg)
+    assert losses[0] > 0
+
+    # save -> reload roundtrip
+    p = str(tmp_path / "w.bin")
+    det.save_weight(p)
+    det2 = Detector(cfg)
+    report = det2.load_model(p)
+    assert not report.missing and not report.unexpected
+
+    img = np.random.default_rng(0).integers(0, 255, (96, 96, 3),
+                                            np.uint8)
+    results = det.image_predict(img, 0.01, 0.5)
+    assert isinstance(results, list)
+
+
+@needs_assets
+def test_detect_e2e_train_steps():
+    cfg = _tiny_cfg(end2end=True)
+    from yolosharp_tpu.tasks import Detector
+
+    det = Detector(cfg)
+    losses = _run_steps(det, cfg)
+    assert losses[0] > 0
+    img = np.zeros((96, 96, 3), np.uint8)
+    det.image_predict(img)
+
+
+@needs_assets
+def test_detect_val_runs():
+    cfg = _tiny_cfg()
+    from yolosharp_tpu.data import DataLoader, YoloDataset
+    from yolosharp_tpu.tasks import Detector
+
+    det = Detector(cfg)
+    ds = YoloDataset(cfg, is_val=True)
+    ds.records = ds.records[:4]
+    dl = DataLoader(ds, 2, shuffle=False, workers=2)
+    items, metrics = det.val(dl, epoch=1)
+    assert len(metrics) == 4
+    assert np.isfinite(items).all()
+
+
+@needs_assets
+def test_segment_train_steps():
+    cfg = _tiny_cfg(root_path=os.path.join(ASSETS, "coco128-seg"),
+                    task_type=TaskType.segment)
+    from yolosharp_tpu.tasks import Segmenter
+
+    seg = Segmenter(cfg)
+    losses = _run_steps(seg, cfg)
+    assert losses[0] > 0
+
+
+@needs_assets
+def test_obb_train_steps():
+    cfg = _tiny_cfg(root_path=os.path.join(ASSETS, "DOTAv1"),
+                    number_class=15, task_type=TaskType.obb,
+                    yolo_type=YoloType.v8)
+    from yolosharp_tpu.tasks import Obber
+
+    obb = Obber(cfg)
+    losses = _run_steps(obb, cfg)
+    assert losses[0] > 0
+
+
+@needs_assets
+def test_pose_train_steps():
+    cfg = _tiny_cfg(root_path=os.path.join(ASSETS, "coco8-pose"),
+                    train_data_path="images/train2017",
+                    val_data_path="images/train2017",
+                    number_class=1, task_type=TaskType.pose)
+    from yolosharp_tpu.tasks import PoseDetector
+
+    pose = PoseDetector(cfg)
+    losses = _run_steps(pose, cfg)
+    assert losses[0] > 0
+
+
+@needs_assets
+def test_classify_train_and_predict():
+    import jax
+
+    from yolosharp_tpu.data import ClassificationDataset, DataLoader
+    from yolosharp_tpu.tasks import Classifier
+    from yolosharp_tpu.train import TrainState, make_optimizer, \
+        make_train_step
+
+    cfg = _tiny_cfg(root_path=os.path.join(ASSETS, "flowers"),
+                    train_data_path="train.txt", val_data_path="val.txt",
+                    task_type=TaskType.classify, number_class=5,
+                    image_size=64)
+    clf = Classifier(cfg)
+    ds = ClassificationDataset(cfg, is_val=False)
+    ds.samples = ds.samples[:8]
+    dl = DataLoader(ds, 2, workers=2)
+    loss_fn, _ = clf._loss_fns()
+    tx = make_optimizer(nc=5, epochs=2, steps_per_epoch=len(dl))
+    state = TrainState.create(clf._ensure_variables(), tx)
+    step = make_train_step(clf.net, loss_fn, donate=False)
+    batch = next(iter(dl))
+    state, loss, items = step(state, batch, {})
+    assert np.isfinite(float(loss))
+    clf.variables = state.variables
+    img = np.zeros((64, 64, 3), np.uint8)
+    results = clf.image_predict(img)
+    assert len(results) == 5
+
+
+def test_multichip_sharded_train_step():
+    """DP train step over the 8-device virtual CPU mesh."""
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    import jax.numpy as jnp
+
+    from yolosharp_tpu.loss import detection_loss
+    from yolosharp_tpu.nn import ArchCfg, YoloNet
+    from yolosharp_tpu.parallel import create_mesh, shard_batch
+    from yolosharp_tpu.train import TrainState, make_optimizer, \
+        make_train_step
+
+    n = len(jax.devices())
+    cfg = ArchCfg(version="v8", size="n", task="detect", nc=8)
+    net = YoloNet(cfg)
+    variables = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
+                         False)
+
+    def loss_fn(preds, batch):
+        return detection_loss(preds["one2many"], batch, nc=8)
+
+    tx = make_optimizer(nc=8, epochs=2, steps_per_epoch=4)
+    state = TrainState.create(variables, tx)
+    mesh = create_mesh()
+    step = make_train_step(net, loss_fn, mesh=mesh, donate=False)
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "images": rng.uniform(0, 1, (n, 64, 64, 3)).astype(np.float32),
+        "cls": rng.integers(0, 8, (n, 8)).astype(np.int32),
+        "bboxes": rng.uniform(0.2, 0.6, (n, 8, 4)).astype(np.float32),
+        "mask_gt": np.ones((n, 8), bool),
+    }
+    jb = shard_batch(batch, mesh)
+    state, loss, items = step(state, jb, {})
+    assert np.isfinite(float(loss))

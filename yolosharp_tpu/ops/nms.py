@@ -130,7 +130,12 @@ def non_max_suppression(
 
         # compact kept rows to the front, cap at max_det
         keep_scores = jnp.where(keep, conf_k, -1.0)
-        sel_scores, sel = jax.lax.top_k(keep_scores, max_det)
+        k_out = min(max_det, keep_scores.shape[-1])
+        sel_scores, sel = jax.lax.top_k(keep_scores, k_out)
+        if k_out < max_det:  # fewer anchors than max_det: pad the output
+            pad = max_det - k_out
+            sel_scores = jnp.pad(sel_scores, (0, pad), constant_values=-1.0)
+            sel = jnp.pad(sel, (0, pad))
         ok = sel_scores > 0.0
         z = jnp.where(ok, 1.0, 0.0)
         return (jnp.take_along_axis(out_box, sel[:, None], 0) * z[:, None],

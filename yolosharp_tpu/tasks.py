@@ -1,0 +1,885 @@
+"""Task orchestration: Detector / Segmenter / Obber / PoseDetector /
+Classifier + the YoloTask facade (train loop, validation, prediction,
+checkpoint load/save).
+
+Functional parity targets: Models/YoloTask.cs:10-107, YoloBaseTaskModel.cs
+(Train/TrainEpoch/LoadModel/SaveWeight), Models/{Detector,Segmenter,Obber,
+PoseDetector,Classifier}.cs. Differences by design:
+ - train/eval are single jitted device programs (no per-batch host syncs);
+ - results come back as one bulk transfer (the reference reads scalars in a
+   loop, Detector.cs:50-69);
+ - data parallelism over a jax.sharding.Mesh when >1 device is visible.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import time
+from datetime import datetime
+from functools import partial
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .ckpt import (clone_one2one, load_state_dict_file, save_bin,
+                   skip_patterns_for_nc_mismatch, state_dict_to_variables,
+                   variables_to_state_dict)
+from .config import Config
+from .data import ClassificationDataset, DataLoader, YoloDataset
+from .loss import (classification_loss, detection_loss, e2e_gain_schedule,
+                   e2e_wrap, obb_loss, pose_loss, segmentation_loss)
+from .nn import ArchCfg, YoloNet
+from .ops import box_iou, kpt_iou, mask_iou, batch_probiou, xyxy2xywh
+from .ops.masks import process_mask
+from .ops.nms import non_max_suppression
+from .parallel.mesh import create_mesh, shard_batch
+from .predict import decode_inference, e2e_postprocess, pad_to_multiple
+from .train import TrainState, make_optimizer, make_train_step
+from .types import KeyPoint, TaskType, YoloResult
+from .utils.metrics import ap_per_class, match_predictions, summarize
+from .utils.training import EarlyStopping, TrainLogger
+
+OKS_SIGMA = np.array([.26, .25, .25, .35, .35, .79, .79, .72, .72, .62,
+                      .62, 1.07, 1.07, .87, .87, .89, .89], np.float32) / 10.0
+
+_TASK_MAP = {
+    TaskType.detect: "detect", TaskType.segment: "segment",
+    TaskType.obb: "obb", TaskType.pose: "pose", TaskType.classify: "classify",
+}
+
+
+class BaseTask:
+    task: TaskType = TaskType.detect
+    loss_names: Tuple[str, ...] = ("box_loss", "cls_loss", "dfl_loss")
+    metric_names: Tuple[str, ...] = ("precision(B)", "recall(B)", "mAP50(B)",
+                                     "mAP50-95(B)")
+    val_conf: float = 0.1
+
+    def __init__(self, config: Config):
+        self.config = config
+        end2end = config.end2end and self.task != TaskType.classify
+        self.arch = ArchCfg(
+            version=config.yolo_type.value, size=config.yolo_size.value,
+            task=_TASK_MAP[self.task], nc=config.number_class,
+            kpt_num=config.keypoint_num, kpt_dim=config.keypoint_dim,
+            end2end=end2end)
+        self.net = YoloNet(self.arch)
+        self.variables = None
+        self._predict_cache: Dict = {}
+
+    # ------------------------------------------------------------- setup
+    def _ensure_variables(self):
+        if self.variables is None:
+            x = jnp.zeros((1, 128, 128, 3), jnp.float32)
+            self.variables = self.net.init(jax.random.PRNGKey(0), x, False)
+        return self.variables
+
+    # ---------------------------------------------------------- checkpoint
+    def load_model(self, path: str, skip_nc_not_equal_layers: bool = False):
+        """LoadModel semantics (YoloBaseTaskModel.cs:27-114)."""
+        variables = self._ensure_variables()
+        sd = load_state_dict_file(path)
+        skip: Tuple[str, ...] = ()
+        if skip_nc_not_equal_layers:
+            from .ckpt.mapping import head_index
+
+            hidx = head_index(variables["params"])
+            skip = skip_patterns_for_nc_mismatch(
+                self.arch.task, hidx, sd, self.config.number_class,
+                self.config.keypoint_num * self.config.keypoint_dim)
+        new_vars, report = state_dict_to_variables(sd, variables,
+                                                   skip_patterns=skip,
+                                                   strict_shapes=False)
+        if self.arch.end2end:
+            new_vars = clone_one2one(new_vars)
+        self.variables = new_vars
+        self._predict_cache.clear()
+        print(f"Model loaded: {report}")
+        return report
+
+    def save_weight(self, path: str, dtype=np.float32):
+        """SaveWeight: LEB128 .bin, one2one excluded (YoloBaseTaskModel.cs:470)."""
+        sd = variables_to_state_dict(self._ensure_variables(),
+                                    reg_max=self.arch.reg_max, dtype=dtype)
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        save_bin(path, sd)
+
+    # -------------------------------------------------------------- losses
+    def _loss_fns(self):
+        raise NotImplementedError
+
+    def _loss_kwargs(self, epoch: int) -> Dict:
+        if self.arch.end2end and self.task != TaskType.detect:
+            o2m, o2o = e2e_gain_schedule(epoch - 1, self.config.epochs)
+            return {"o2m_gain": o2m, "o2o_gain": o2o}
+        return {}
+
+    # --------------------------------------------------------------- train
+    def _make_datasets(self):
+        tr = YoloDataset(self.config, is_val=False)
+        va = YoloDataset(self.config, is_val=True)
+        return tr, va
+
+    def train(self):
+        cfg = self.config
+        print("Start Training:")
+        print(cfg.describe())
+        out_dir = cfg.output_path or os.path.join(
+            "result", self.task.value, datetime.now().strftime("%y%m%d%H%M%S"))
+        cfg.output_path = out_dir
+        logger = TrainLogger(out_dir, self._log_headers())
+        logger.write_config(cfg)
+
+        train_ds, val_ds = self._make_datasets()
+        if len(train_ds) == 0 or len(val_ds) == 0:
+            raise FileNotFoundError(f"No data found in {cfg.root_path}")
+        max_labels = cfg.max_labels or train_ds.max_label_count
+        train_dl = DataLoader(train_ds, cfg.batch_size, shuffle=True,
+                              workers=cfg.workers, max_labels=max_labels)
+        val_dl = DataLoader(val_ds, cfg.batch_size, shuffle=False,
+                            workers=cfg.workers, max_labels=max_labels)
+        nb = len(train_dl)
+
+        tx = make_optimizer(nc=cfg.number_class, epochs=cfg.epochs,
+                            steps_per_epoch=nb,
+                            warmup_epochs=cfg.warm_up_epochs,
+                            warmup_bias_lr=cfg.warm_up_bias_lr,
+                            use_cos_lr=cfg.use_cos_lr, lrf=cfg.lrf)
+        state = TrainState.create(self._ensure_variables(), tx)
+
+        n_dev = len(jax.devices())
+        mesh = create_mesh() if n_dev > 1 and cfg.batch_size % n_dev == 0 \
+            else None
+        train_loss_fn, _ = self._loss_fns()
+        step_fn = make_train_step(self.net, train_loss_fn,
+                                  compute_dtype=cfg.compute_dtype, mesh=mesh)
+
+        stopper = EarlyStopping(cfg.patience)
+        best_fitness = -float("inf")
+        weights_dir = os.path.join(out_dir, "weights")
+        os.makedirs(weights_dir, exist_ok=True)
+
+        for epoch in range(1, cfg.epochs + 1):
+            t0 = time.time()
+            train_ds.close_mosaic(epoch > cfg.close_mosaic)
+            loss_kwargs = self._loss_kwargs(epoch)
+            items_sum = None
+            nbatch = 0
+            for batch in train_dl:
+                jb = shard_batch(batch, mesh) if mesh else batch
+                state, loss, items = step_fn(state, jb, loss_kwargs)
+                items_sum = items if items_sum is None else items_sum + items
+                nbatch += 1
+            train_items = np.asarray(items_sum) * cfg.batch_size \
+                if items_sum is not None else np.zeros(len(self.loss_names))
+            self.variables = state.variables
+
+            val_items, metrics = self.val(val_dl, epoch)
+            fitness = -float(np.sum(val_items))
+
+            if fitness > best_fitness:
+                best_fitness = fitness
+                self.save_weight(os.path.join(weights_dir, "best.bin"))
+            if stopper.should_stop(fitness, epoch):
+                break
+            self.save_weight(os.path.join(weights_dir, "last.bin"))
+            dt = time.time() - t0
+            loss_str = " ".join(f"{n}={v / max(len(train_ds), 1):.3f}"
+                                for n, v in zip(self.loss_names, train_items))
+            met_str = " ".join(f"{v:.3f}" for v in metrics)
+            print(f"epoch {epoch}/{cfg.epochs} {dt:.1f}s {loss_str} "
+                  f"| val metrics: {met_str}")
+            logger.log_epoch(epoch, dt, list(train_items), list(val_items),
+                             list(metrics), len(train_ds), len(val_ds))
+        logger.draw_curves()
+        print("Train Done.")
+        return state
+
+    def _log_headers(self) -> str:
+        train_cols = ", ".join(f"train/{n}" for n in self.loss_names)
+        val_cols = ", ".join(f"val/{n}" for n in self.loss_names)
+        met_cols = ", ".join(f"metrics/{n}" for n in self.metric_names)
+        return (f"Epoch, Time, {train_cols}, {val_cols}, {met_cols}, "
+                f"train/loss, val/loss")
+
+    # ----------------------------------------------------------------- val
+    def _get_eval_step(self):
+        if not hasattr(self, "_eval_step"):
+            cfg = self.config
+            _, eval_loss_fn = self._loss_fns()
+
+            @jax.jit
+            def eval_step(variables, batch, loss_kwargs):
+                images = batch["images"].astype(cfg.compute_dtype)
+                preds = self.net.apply(variables, images, False)
+                _, items = eval_loss_fn(preds, batch, **loss_kwargs)
+                decoded = self._decode_for_val(preds)
+                return items, decoded
+
+            self._eval_step = eval_step
+        return self._eval_step
+
+    def val(self, val_dl: DataLoader, epoch: int = 0):
+        variables = self._ensure_variables()
+        loss_kwargs = self._loss_kwargs(epoch)
+        eval_step = self._get_eval_step()
+
+        acc = self._new_val_accumulator()
+        items_sum = None
+        count = 0
+        for batch in val_dl:
+            items, decoded = eval_step(variables, batch, loss_kwargs)
+            items_sum = items if items_sum is None else items_sum + items
+            self._accumulate_val(acc, batch, jax.device_get(decoded))
+            count += batch["images"].shape[0]
+        val_items = (np.asarray(items_sum) * self.config.batch_size
+                     if items_sum is not None
+                     else np.zeros(len(self.loss_names)))
+        metrics = self._finalize_val(acc, count)
+        return val_items, metrics
+
+    # hooks implemented per task
+    def _decode_for_val(self, preds):
+        raise NotImplementedError
+
+    def _new_val_accumulator(self):
+        return {"tp": [], "conf": [], "pred_cls": [], "target_cls": []}
+
+    def _accumulate_val(self, acc, batch, decoded):
+        raise NotImplementedError
+
+    def _finalize_val(self, acc, count):
+        if not acc["tp"]:
+            return [0.0, 0.0, 0.0, 0.0]
+        tp = np.concatenate(acc["tp"])
+        conf = np.concatenate(acc["conf"])
+        pred_cls = np.concatenate(acc["pred_cls"])
+        target_cls = np.concatenate(acc["target_cls"])
+        res = ap_per_class(tp, conf, pred_cls, target_cls)
+        p, r, m50, m5095 = summarize(res)
+        print(f"{'All':>10}{count:>10}{len(target_cls):>10}"
+              f"{p:>10.3f}{r:>10.3f}{m50:>10.3f}{m5095:>10.3f}")
+        return [p, r, m50, m5095]
+
+    # ------------------------------------------------------------- predict
+    def image_predict(self, image: np.ndarray,
+                      predict_threshold: Optional[float] = None,
+                      iou_threshold: Optional[float] = None
+                      ) -> List[YoloResult]:
+        raise NotImplementedError
+
+
+def _nms_decoded(decoded, batch, *, nc, conf, iou, rotated=False,
+                 end2end=False, max_det=300):
+    """Shared on-device NMS/e2e-select used by the val paths."""
+    if end2end:
+        return decoded  # already (B, max_det, 6+extra)
+    return non_max_suppression(decoded, conf, iou, nc=nc, rotated=rotated,
+                               max_det=max_det)
+
+
+class Detector(BaseTask):
+    task = TaskType.detect
+
+    def _loss_fns(self):
+        nc = self.config.number_class
+        if self.arch.end2end:
+            fn = e2e_wrap(partial(detection_loss, nc=nc, tal_topk=10),
+                          partial(detection_loss, nc=nc, tal_topk=1))
+        else:
+            base = partial(detection_loss, nc=nc)
+
+            def fn(preds, batch, **kw):
+                return base(preds["one2many"], batch)
+        return fn, fn
+
+    def _decode_branch(self, preds):
+        branch = preds["one2one"] if self.arch.end2end else preds["one2many"]
+        dec = decode_inference(branch, nc=self.config.number_class,
+                               end2end=self.arch.end2end)
+        if self.arch.end2end:
+            dec = e2e_postprocess(dec.swapaxes(-1, -2),
+                                  nc=self.config.number_class)
+        return dec
+
+    def _decode_for_val(self, preds):
+        dec = self._decode_branch(preds)
+        if self.arch.end2end:
+            return dec
+        return non_max_suppression(dec, self.val_conf, 0.7,
+                                   nc=self.config.number_class)
+
+    def _accumulate_val(self, acc, batch, decoded):
+        h, w = batch["images"].shape[1:3]
+        scale = np.array([w, h, w, h], np.float32)
+        for i in range(batch["images"].shape[0]):
+            if self.arch.end2end:
+                rows = decoded[i]
+                keep = rows[:, 4] > self.val_conf
+                boxes, scores, classes = (rows[keep, :4], rows[keep, 4],
+                                          rows[keep, 5].astype(int))
+            else:
+                valid = np.asarray(decoded.valid[i])
+                boxes = np.asarray(decoded.boxes[i])[valid]
+                scores = np.asarray(decoded.scores[i])[valid]
+                classes = np.asarray(decoded.classes[i])[valid]
+            gmask = batch["mask_gt"][i]
+            gcls = batch["cls"][i][gmask].astype(float)
+            gxywh = batch["bboxes"][i][gmask][:, :4] * scale
+            gxyxy = np.concatenate([gxywh[:, :2] - gxywh[:, 2:] / 2,
+                                    gxywh[:, :2] + gxywh[:, 2:] / 2], -1)
+            iou = np.asarray(box_iou(jnp.asarray(gxyxy), jnp.asarray(boxes))) \
+                if len(boxes) and len(gxyxy) else np.zeros((len(gxyxy),
+                                                            len(boxes)))
+            tp = match_predictions(classes.astype(float), gcls, iou)
+            acc["tp"].append(tp)
+            acc["conf"].append(scores)
+            acc["pred_cls"].append(classes.astype(float))
+            acc["target_cls"].append(gcls)
+
+    def _predict_fn(self, shape):
+        if shape not in self._predict_cache:
+            nc = self.config.number_class
+
+            @jax.jit
+            def fn(variables, img, conf, iou):
+                preds = self.net.apply(variables, img, False)
+                dec = self._decode_branch(preds)
+                if self.arch.end2end:
+                    return dec
+                return non_max_suppression(dec, conf, iou, nc=nc)
+
+            self._predict_cache[shape] = fn
+        return self._predict_cache[shape]
+
+    def image_predict(self, image, predict_threshold=None,
+                      iou_threshold=None) -> List[YoloResult]:
+        conf = (self.config.predict_threshold if predict_threshold is None
+                else predict_threshold)
+        iou = (self.config.iou_threshold if iou_threshold is None
+               else iou_threshold)
+        variables = self._ensure_variables()
+        img = np.asarray(image, np.float32)[None]
+        img = np.asarray(pad_to_multiple(jnp.asarray(img), 32, 114.0)) / 255.0
+        fn = self._predict_fn(img.shape)
+        out = jax.device_get(fn(variables, jnp.asarray(img),
+                                conf if not self.arch.end2end else 0.0, iou))
+        results = []
+        if self.arch.end2end:
+            rows = out[0]
+            for x1, y1, x2, y2, score, cls in rows[:, :6]:
+                if score <= conf:
+                    continue
+                results.append(self._result_from_box(x1, y1, x2, y2,
+                                                     score, cls))
+        else:
+            for i in range(int(out.valid[0].sum())):
+                x1, y1, x2, y2 = out.boxes[0][i]
+                results.append(self._result_from_box(
+                    x1, y1, x2, y2, out.scores[0][i], out.classes[0][i]))
+        return results
+
+    @staticmethod
+    def _result_from_box(x1, y1, x2, y2, score, cls) -> YoloResult:
+        # integer truncation mirrors Detector.cs:52-68
+        x, y = int(x1), int(y1)
+        w, h = int(x2) - x, int(y2) - y
+        return YoloResult(class_id=int(cls), score=float(score),
+                          center_x=x + w // 2, center_y=y + h // 2,
+                          width=w, height=h)
+
+
+class Segmenter(Detector):
+    task = TaskType.segment
+    loss_names = ("box_loss", "seg_loss", "cls_loss", "dfl_loss", "semseg")
+    val_conf = 0.01
+
+    def _loss_fns(self):
+        nc = self.config.number_class
+        if self.arch.end2end:
+            fn = e2e_wrap(
+                partial(segmentation_loss, nc=nc, tal_topk=10),
+                partial(segmentation_loss, nc=nc, tal_topk=7, tal_topk2=1))
+        else:
+            base = partial(segmentation_loss, nc=nc)
+
+            def fn(preds, batch, **kw):
+                return base(preds["one2many"], batch)
+        return fn, fn
+
+    def _decode_for_val(self, preds):
+        branch = preds["one2one"] if self.arch.end2end else preds["one2many"]
+        dec = decode_inference(branch, nc=self.config.number_class,
+                               end2end=self.arch.end2end)
+        proto = branch["proto"]
+        if self.arch.end2end:
+            sel = e2e_postprocess(dec.swapaxes(-1, -2),
+                                  nc=self.config.number_class, extra=32)
+            return {"rows": sel, "proto": proto}
+        nms = non_max_suppression(dec, self.val_conf, 0.7,
+                                  nc=self.config.number_class)
+        return {"nms": nms, "proto": proto}
+
+    def _new_val_accumulator(self):
+        acc = super()._new_val_accumulator()
+        acc["tp_m"] = []
+        return acc
+
+    def _accumulate_val(self, acc, batch, decoded):
+        h, w = batch["images"].shape[1:3]
+        scale = np.array([w, h, w, h], np.float32)
+        proto = decoded["proto"]          # (B, mh, mw, nm)
+        for i in range(batch["images"].shape[0]):
+            if self.arch.end2end:
+                rows = decoded["rows"][i]
+                keep = rows[:, 4] > self.val_conf
+                boxes, scores = rows[keep, :4], rows[keep, 4]
+                classes = rows[keep, 5].astype(int)
+                coeffs = rows[keep, 6:]
+            else:
+                nms = decoded["nms"]
+                valid = np.asarray(nms.valid[i])
+                boxes = np.asarray(nms.boxes[i])[valid]
+                scores = np.asarray(nms.scores[i])[valid]
+                classes = np.asarray(nms.classes[i])[valid]
+                coeffs = np.asarray(nms.extras[i])[valid]
+            gmask = batch["mask_gt"][i]
+            gcls = batch["cls"][i][gmask].astype(float)
+            gxywh = batch["bboxes"][i][gmask][:, :4] * scale
+            gxyxy = np.concatenate([gxywh[:, :2] - gxywh[:, 2:] / 2,
+                                    gxywh[:, :2] + gxywh[:, 2:] / 2], -1)
+            if len(boxes) and len(gxyxy):
+                iou = np.asarray(box_iou(jnp.asarray(gxyxy),
+                                         jnp.asarray(boxes)))
+                pmask = np.asarray(process_mask(
+                    jnp.asarray(proto[i]).transpose(2, 0, 1),
+                    jnp.asarray(coeffs), jnp.asarray(boxes), (h, w)))
+                gm = batch["masks"][i]
+                nl = len(gcls)
+                gt_masks = (gm[None] == np.arange(1, nl + 1)[:, None, None])
+                if gt_masks.shape[1:] != pmask.shape[1:]:
+                    import cv2
+
+                    gt_masks = np.stack([
+                        cv2.resize(m.astype(np.uint8), pmask.shape[1:][::-1],
+                                   interpolation=cv2.INTER_NEAREST)
+                        for m in gt_masks]) if nl else np.zeros(
+                            (0,) + pmask.shape[1:])
+                miou = np.asarray(mask_iou(
+                    jnp.asarray(gt_masks.reshape(nl, -1).astype(np.float32)),
+                    jnp.asarray(pmask.reshape(len(boxes), -1)
+                                .astype(np.float32))))
+            else:
+                iou = np.zeros((len(gxyxy), len(boxes)))
+                miou = np.zeros((len(gxyxy), len(boxes)))
+            acc["tp"].append(match_predictions(classes.astype(float), gcls,
+                                               iou))
+            acc["tp_m"].append(match_predictions(classes.astype(float), gcls,
+                                                 miou))
+            acc["conf"].append(scores)
+            acc["pred_cls"].append(classes.astype(float))
+            acc["target_cls"].append(gcls)
+
+    metric_names = ("precision(B)", "recall(B)", "mAP50(B)", "mAP50-95(B)",
+                    "precision(M)", "recall(M)", "mAP50(M)", "mAP50-95(M)")
+
+    def _finalize_val(self, acc, count):
+        if not acc["tp"]:
+            return [0.0] * 8
+        conf = np.concatenate(acc["conf"])
+        pred_cls = np.concatenate(acc["pred_cls"])
+        target_cls = np.concatenate(acc["target_cls"])
+        box = summarize(ap_per_class(np.concatenate(acc["tp"]), conf,
+                                     pred_cls, target_cls))
+        msk = summarize(ap_per_class(np.concatenate(acc["tp_m"]), conf,
+                                     pred_cls, target_cls))
+        print(f"{'All':>10}{count:>10}{len(target_cls):>10} "
+              f"Box P/R/mAP50/mAP50-95: "
+              f"{box[0]:.3f}/{box[1]:.3f}/{box[2]:.3f}/{box[3]:.3f} "
+              f"Mask: {msk[0]:.3f}/{msk[1]:.3f}/{msk[2]:.3f}/{msk[3]:.3f}")
+        return list(box) + list(msk)
+
+    def image_predict(self, image, predict_threshold=None,
+                      iou_threshold=None) -> List[YoloResult]:
+        conf = (self.config.predict_threshold if predict_threshold is None
+                else predict_threshold)
+        iou = (self.config.iou_threshold if iou_threshold is None
+               else iou_threshold)
+        variables = self._ensure_variables()
+        oh, ow = image.shape[:2]
+        img = np.asarray(image, np.float32)[None]
+        img = np.asarray(pad_to_multiple(jnp.asarray(img), 32, 114.0)) / 255.0
+        nc = self.config.number_class
+
+        @jax.jit
+        def fn(variables, x):
+            preds = self.net.apply(variables, x, False)
+            return self._decode_for_val(preds)
+
+        decoded = jax.device_get(fn(variables, jnp.asarray(img)))
+        h, w = img.shape[1:3]
+        results: List[YoloResult] = []
+        proto = decoded["proto"][0]
+        if self.arch.end2end:
+            rows = decoded["rows"][0]
+            keep = rows[:, 4] > conf
+            boxes, scores = rows[keep, :4], rows[keep, 4]
+            classes, coeffs = rows[keep, 5].astype(int), rows[keep, 6:]
+        else:
+            nms = decoded["nms"]
+            valid = np.asarray(nms.valid[0]) & (np.asarray(nms.scores[0]) > conf)
+            boxes = np.asarray(nms.boxes[0])[valid]
+            scores = np.asarray(nms.scores[0])[valid]
+            classes = np.asarray(nms.classes[0])[valid]
+            coeffs = np.asarray(nms.extras[0])[valid]
+        if len(boxes):
+            masks = np.asarray(process_mask(
+                jnp.asarray(proto).transpose(2, 0, 1), jnp.asarray(coeffs),
+                jnp.asarray(boxes), (h, w), upsample=True))
+        for j in range(len(boxes)):
+            x1, y1, x2, y2 = boxes[j]
+            r = Detector._result_from_box(x1, y1, x2, y2, scores[j],
+                                          classes[j])
+            r.mask = masks[j][:oh, :ow]
+            results.append(r)
+        return results
+
+
+class Obber(Detector):
+    task = TaskType.obb
+    loss_names = ("box_loss", "cls_loss", "dfl_loss", "angle_loss")
+    val_conf = 0.01
+
+    def _loss_fns(self):
+        nc = self.config.number_class
+
+        def reorder(fn):
+            # reference OBB items order is [box, cls, dfl, angle]
+            def wrapped(preds, batch, **kw):
+                return fn(preds, batch, **kw)
+            return wrapped
+
+        if self.arch.end2end:
+            fn = e2e_wrap(partial(obb_loss, nc=nc, tal_topk=10),
+                          partial(obb_loss, nc=nc, tal_topk=7, tal_topk2=1))
+        else:
+            base = partial(obb_loss, nc=nc)
+
+            def fn(preds, batch, **kw):
+                return base(preds["one2many"], batch)
+        return fn, fn
+
+    def _decode_for_val(self, preds):
+        branch = preds["one2one"] if self.arch.end2end else preds["one2many"]
+        dec = decode_inference(branch, nc=self.config.number_class,
+                               end2end=self.arch.end2end)
+        if self.arch.end2end:
+            return e2e_postprocess(dec.swapaxes(-1, -2),
+                                   nc=self.config.number_class, extra=1)
+        return non_max_suppression(dec, self.val_conf, 0.7,
+                                   nc=self.config.number_class, rotated=True)
+
+    def _accumulate_val(self, acc, batch, decoded):
+        h, w = batch["images"].shape[1:3]
+        for i in range(batch["images"].shape[0]):
+            if self.arch.end2end:
+                rows = decoded[i]
+                keep = rows[:, 4] > self.val_conf
+                # e2e rows: x,y,w,h(center-form rbox), score, cls, angle
+                rbox = np.concatenate([rows[keep, :4], rows[keep, 6:7]], -1)
+                scores, classes = rows[keep, 4], rows[keep, 5].astype(int)
+            else:
+                valid = np.asarray(decoded.valid[i])
+                rbox = np.asarray(decoded.boxes[i])[valid]  # (n, 5) xywhr
+                scores = np.asarray(decoded.scores[i])[valid]
+                classes = np.asarray(decoded.classes[i])[valid]
+            gmask = batch["mask_gt"][i]
+            gcls = batch["cls"][i][gmask].astype(float)
+            gb = batch["bboxes"][i][gmask]
+            grbox = np.concatenate(
+                [gb[:, :4] * [w, h, w, h], gb[:, 4:5]], -1)
+            if len(rbox) and len(grbox):
+                iou = np.asarray(batch_probiou(jnp.asarray(grbox),
+                                               jnp.asarray(rbox)))
+            else:
+                iou = np.zeros((len(grbox), len(rbox)))
+            acc["tp"].append(match_predictions(classes.astype(float), gcls,
+                                               iou))
+            acc["conf"].append(scores)
+            acc["pred_cls"].append(classes.astype(float))
+            acc["target_cls"].append(gcls)
+
+    def image_predict(self, image, predict_threshold=None,
+                      iou_threshold=None) -> List[YoloResult]:
+        conf = (self.config.predict_threshold if predict_threshold is None
+                else predict_threshold)
+        iou = (self.config.iou_threshold if iou_threshold is None
+               else iou_threshold)
+        variables = self._ensure_variables()
+        img = np.asarray(image, np.float32)[None]
+        img = np.asarray(pad_to_multiple(jnp.asarray(img), 32, 114.0)) / 255.0
+        nc = self.config.number_class
+
+        @jax.jit
+        def fn(variables, x):
+            preds = self.net.apply(variables, x, False)
+            branch = (preds["one2one"] if self.arch.end2end
+                      else preds["one2many"])
+            dec = decode_inference(branch, nc=nc, end2end=self.arch.end2end)
+            if self.arch.end2end:
+                return e2e_postprocess(dec.swapaxes(-1, -2), nc=nc, extra=1)
+            return non_max_suppression(dec, conf, iou, nc=nc, rotated=True)
+
+        out = jax.device_get(fn(variables, jnp.asarray(img)))
+        results = []
+        if self.arch.end2end:
+            rows = out[0]
+            for row in rows:
+                if row[4] <= conf:
+                    continue
+                results.append(YoloResult(
+                    class_id=int(row[5]), score=float(row[4]),
+                    center_x=int(row[0]), center_y=int(row[1]),
+                    width=int(row[2]), height=int(row[3]),
+                    radian=float(row[6])))
+        else:
+            for i in range(int(out.valid[0].sum())):
+                cx, cy, bw, bh, r = out.boxes[0][i]
+                results.append(YoloResult(
+                    class_id=int(out.classes[0][i]),
+                    score=float(out.scores[0][i]), center_x=int(cx),
+                    center_y=int(cy), width=int(bw), height=int(bh),
+                    radian=float(r)))
+        return results
+
+
+class PoseDetector(Detector):
+    task = TaskType.pose
+    loss_names = ("box_loss", "pose_loss", "kobj_loss", "cls_loss",
+                  "dfl_loss")
+    val_conf = 0.01
+    metric_names = ("precision(B)", "recall(B)", "mAP50(B)", "mAP50-95(B)",
+                    "precision(P)", "recall(P)", "mAP50(P)", "mAP50-95(P)")
+
+    def _loss_fns(self):
+        cfg = self.config
+        kw = dict(nc=cfg.number_class, kpt_num=cfg.keypoint_num,
+                  kpt_dim=cfg.keypoint_dim)
+        if self.arch.end2end:
+            fn = e2e_wrap(partial(pose_loss, tal_topk=10, **kw),
+                          partial(pose_loss, tal_topk=7, tal_topk2=1, **kw))
+        else:
+            base = partial(pose_loss, **kw)
+
+            def fn(preds, batch, **kwargs):
+                return base(preds["one2many"], batch)
+        return fn, fn
+
+    def _decode_for_val(self, preds):
+        cfg = self.config
+        branch = preds["one2one"] if self.arch.end2end else preds["one2many"]
+        dec = decode_inference(branch, nc=cfg.number_class,
+                               end2end=self.arch.end2end,
+                               kpt_num=cfg.keypoint_num,
+                               kpt_dim=cfg.keypoint_dim)
+        nk = cfg.keypoint_num * cfg.keypoint_dim
+        if self.arch.end2end:
+            return e2e_postprocess(dec.swapaxes(-1, -2), nc=cfg.number_class,
+                                   extra=nk)
+        return non_max_suppression(dec, self.val_conf, 0.7,
+                                   nc=cfg.number_class)
+
+    def _new_val_accumulator(self):
+        acc = super()._new_val_accumulator()
+        acc["tp_p"] = []
+        return acc
+
+    def _accumulate_val(self, acc, batch, decoded):
+        cfg = self.config
+        h, w = batch["images"].shape[1:3]
+        scale = np.array([w, h, w, h], np.float32)
+        K, kd = cfg.keypoint_num, cfg.keypoint_dim
+        sigmas = OKS_SIGMA if K == 17 else np.ones(K, np.float32) / K
+        for i in range(batch["images"].shape[0]):
+            if self.arch.end2end:
+                rows = decoded[i]
+                keep = rows[:, 4] > self.val_conf
+                boxes, scores = rows[keep, :4], rows[keep, 4]
+                classes = rows[keep, 5].astype(int)
+                kpts = rows[keep, 6:].reshape(-1, K, kd)
+            else:
+                valid = np.asarray(decoded.valid[i])
+                boxes = np.asarray(decoded.boxes[i])[valid]
+                scores = np.asarray(decoded.scores[i])[valid]
+                classes = np.asarray(decoded.classes[i])[valid]
+                kpts = np.asarray(decoded.extras[i])[valid].reshape(-1, K, kd)
+            gmask = batch["mask_gt"][i]
+            gcls = batch["cls"][i][gmask].astype(float)
+            gxywh = batch["bboxes"][i][gmask][:, :4] * scale
+            gxyxy = np.concatenate([gxywh[:, :2] - gxywh[:, 2:] / 2,
+                                    gxywh[:, :2] + gxywh[:, 2:] / 2], -1)
+            gkpt = batch["keypoints"][i][gmask].copy()
+            if gkpt.shape[-1] == 2:
+                gkpt = np.concatenate(
+                    [gkpt, np.ones(gkpt.shape[:-1] + (1,), np.float32)], -1)
+            gkpt[..., 0] *= w
+            gkpt[..., 1] *= h
+            if len(boxes) and len(gxyxy):
+                iou = np.asarray(box_iou(jnp.asarray(gxyxy),
+                                         jnp.asarray(boxes)))
+                area = (gxywh[:, 2] * gxywh[:, 3]) * 0.53
+                piou = np.asarray(kpt_iou(jnp.asarray(gkpt),
+                                          jnp.asarray(kpts),
+                                          jnp.asarray(area),
+                                          jnp.asarray(sigmas)))
+            else:
+                iou = np.zeros((len(gxyxy), len(boxes)))
+                piou = np.zeros((len(gxyxy), len(boxes)))
+            acc["tp"].append(match_predictions(classes.astype(float), gcls,
+                                               iou))
+            acc["tp_p"].append(match_predictions(classes.astype(float), gcls,
+                                                 piou))
+            acc["conf"].append(scores)
+            acc["pred_cls"].append(classes.astype(float))
+            acc["target_cls"].append(gcls)
+
+    def _finalize_val(self, acc, count):
+        if not acc["tp"]:
+            return [0.0] * 8
+        conf = np.concatenate(acc["conf"])
+        pred_cls = np.concatenate(acc["pred_cls"])
+        target_cls = np.concatenate(acc["target_cls"])
+        box = summarize(ap_per_class(np.concatenate(acc["tp"]), conf,
+                                     pred_cls, target_cls))
+        kpt = summarize(ap_per_class(np.concatenate(acc["tp_p"]), conf,
+                                     pred_cls, target_cls))
+        print(f"{'All':>10}{count:>10}{len(target_cls):>10} "
+              f"Box: {box[2]:.3f}/{box[3]:.3f} Pose: {kpt[2]:.3f}/{kpt[3]:.3f}")
+        return list(box) + list(kpt)
+
+    def image_predict(self, image, predict_threshold=None,
+                      iou_threshold=None) -> List[YoloResult]:
+        cfg = self.config
+        conf = (cfg.predict_threshold if predict_threshold is None
+                else predict_threshold)
+        iou = (cfg.iou_threshold if iou_threshold is None else iou_threshold)
+        variables = self._ensure_variables()
+        img = np.asarray(image, np.float32)[None]
+        img = np.asarray(pad_to_multiple(jnp.asarray(img), 32, 114.0)) / 255.0
+        K, kd = cfg.keypoint_num, cfg.keypoint_dim
+
+        @jax.jit
+        def fn(variables, x):
+            preds = self.net.apply(variables, x, False)
+            return self._decode_for_val(preds)
+
+        out = jax.device_get(fn(variables, jnp.asarray(img)))
+        results = []
+        if self.arch.end2end:
+            rows = out[0]
+            keep = rows[:, 4] > conf
+            boxes, scores = rows[keep, :4], rows[keep, 4]
+            classes, kpts = rows[keep, 5].astype(int), rows[keep, 6:]
+        else:
+            valid = (np.asarray(out.valid[0])
+                     & (np.asarray(out.scores[0]) > conf))
+            boxes = np.asarray(out.boxes[0])[valid]
+            scores = np.asarray(out.scores[0])[valid]
+            classes = np.asarray(out.classes[0])[valid]
+            kpts = np.asarray(out.extras[0])[valid]
+        for j in range(len(boxes)):
+            r = Detector._result_from_box(*boxes[j], scores[j], classes[j])
+            pts = kpts[j].reshape(K, kd)
+            r.keypoints = [KeyPoint(float(p[0]), float(p[1]),
+                                    float(p[2]) if kd == 3 else 1.0)
+                           for p in pts]
+            results.append(r)
+        return results
+
+
+class Classifier(BaseTask):
+    task = TaskType.classify
+    loss_names = ("cls_loss",)
+    metric_names = ("top1", "top5")
+
+    def _loss_fns(self):
+        def fn(preds, batch, **kw):
+            return classification_loss(preds, batch)
+        return fn, fn
+
+    def _make_datasets(self):
+        return (ClassificationDataset(self.config, is_val=False),
+                ClassificationDataset(self.config, is_val=True))
+
+    def _decode_for_val(self, preds):
+        return jax.nn.softmax(preds["cls"].astype(jnp.float32), -1)
+
+    def _new_val_accumulator(self):
+        return {"top1": 0, "top5": 0, "n": 0}
+
+    def _accumulate_val(self, acc, batch, decoded):
+        probs = np.asarray(decoded)
+        labels = np.asarray(batch["cls"]).reshape(-1)
+        top5 = np.argsort(-probs, -1)[:, :5]
+        acc["top1"] += int((top5[:, 0] == labels).sum())
+        acc["top5"] += int((top5 == labels[:, None]).any(-1).sum())
+        acc["n"] += len(labels)
+
+    def _finalize_val(self, acc, count):
+        n = max(acc["n"], 1)
+        top1, top5 = acc["top1"] / n, acc["top5"] / n
+        print(f"{'All':>10}{count:>10}{top1:>10.3f}{top5:>10.3f}")
+        return [top1, top5]
+
+    def image_predict(self, image, predict_threshold=None,
+                      iou_threshold=None) -> List[YoloResult]:
+        variables = self._ensure_variables()
+        import cv2
+
+        s = self.config.image_size
+        img = cv2.resize(np.asarray(image), (s, s)).astype(np.float32)[None]
+
+        @jax.jit
+        def fn(variables, x):
+            preds = self.net.apply(variables, x / 255.0, False)
+            return jax.nn.softmax(preds["cls"].astype(jnp.float32), -1)
+
+        probs = np.asarray(jax.device_get(fn(variables, jnp.asarray(img))))[0]
+        order = np.argsort(-probs)
+        return [YoloResult(class_id=int(i), score=float(probs[i]))
+                for i in order[:5]]
+
+
+_TASKS = {TaskType.detect: Detector, TaskType.segment: Segmenter,
+          TaskType.obb: Obber, TaskType.pose: PoseDetector,
+          TaskType.classify: Classifier}
+
+
+class YoloTask:
+    """Public facade (Models/YoloTask.cs:10-107)."""
+
+    def __init__(self, config: Config):
+        self.config = config
+        self.task = _TASKS[config.task_type](config)
+
+    def load_model(self, path: str, skip_nc_not_equal_layers: bool = False):
+        return self.task.load_model(path, skip_nc_not_equal_layers)
+
+    def save_weight(self, path: str):
+        return self.task.save_weight(path)
+
+    def train(self):
+        return self.task.train()
+
+    def image_predict(self, image, predict_threshold: Optional[float] = None,
+                      iou_threshold: Optional[float] = None):
+        if isinstance(image, str):
+            import cv2
+
+            image = cv2.cvtColor(cv2.imread(image, cv2.IMREAD_COLOR),
+                                 cv2.COLOR_BGR2RGB)
+        return self.task.image_predict(image, predict_threshold,
+                                       iou_threshold)

@@ -1,0 +1,207 @@
+"""Training machinery: optimizer groups, LR schedules (warm-up + LambdaLR /
+OneCycle), jitted data-parallel train step, train state.
+
+Functional parity targets: Models/YoloBaseTaskModel.cs:116-356 (Train /
+TrainEpoch: AdamW three param groups with lr_fit = 0.002*5/(4+nc), per-step
+warm-up interpolation with bias start 0.1, per-epoch LambdaLR/OneCycle),
+Utils/Amp.cs (bf16 compute with fp32 master params is the native TPU policy,
+so the explicit fp16 loss-scaling machinery reduces to a dtype cast).
+
+NOTE on param groups: the reference builds overlapping LINQ groups
+(bias/weight/bn, YoloBaseTaskModel.cs:144-153) which double-register BN
+params; we use the standard disjoint split (conv/linear kernels with weight
+decay; BN scales and all biases without), which is what the copied
+Ultralytics recipe intends.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from .parallel.mesh import batch_sharding, replicated
+
+
+def lr_fit(nc: int) -> float:
+    """lr0 fit equation (YoloBaseTaskModel.cs:142)."""
+    return round(0.002 * 5 / (4 + nc), 6)
+
+
+def linear_lambda(y1: float, y2: float, steps: int) -> Callable[[float], float]:
+    """LrLambda (YoloBaseTaskModel.cs:504-512)."""
+
+    def fn(epoch):
+        x = epoch / steps
+        return max(1 - x, 0) * (y1 - y2) + y2
+
+    return fn
+
+
+def one_cycle(y1: float, y2: float, steps: int) -> Callable[[float], float]:
+    """OneCycle cosine (YoloBaseTaskModel.cs:492-502)."""
+
+    def fn(epoch):
+        factor = max((1 - math.cos(epoch * math.pi / steps)) / 2, 0)
+        return factor * (y2 - y1) + y1
+
+    return fn
+
+
+def make_lr_schedule(*, nc: int, epochs: int, steps_per_epoch: int,
+                     warmup_epochs: int = 3, warmup_bias_lr: float = 0.1,
+                     use_cos_lr: bool = False, lrf: float = 0.01,
+                     bias_group: bool = False) -> Callable:
+    """Per-step LR: warm-up interp into the per-epoch lambda schedule.
+
+    Mirrors TrainEpoch's warm-up (YoloBaseTaskModel.cs:306-319): during
+    ni <= nw the LR ramps linearly from (0.1 for the bias group, else 0) to
+    lr0 * lambda(epoch); afterwards the LambdaLR value applies.
+    """
+    lr0 = lr_fit(nc)
+    nb = steps_per_epoch
+    nw = max(warmup_epochs * nb, 100)
+    lam = (one_cycle(1.0, lrf, epochs) if use_cos_lr
+           else linear_lambda(1.0, lrf, epochs))
+
+    def sched(step):
+        # step is a traced int; all math stays jit-friendly
+        step = jnp.asarray(step, jnp.float32)
+        epoch = jnp.floor(step / nb) + 1.0
+        i = step - (epoch - 1.0) * nb
+        ni = i + nb * epoch
+        # post-warmup LR: LambdaLR has stepped (epoch-1) times
+        if use_cos_lr:
+            factor = jnp.maximum(
+                (1 - jnp.cos((epoch - 1) * math.pi / epochs)) / 2, 0)
+            lam_now = factor * (lrf - 1.0) + 1.0
+            lam_tgt_f = jnp.maximum(
+                (1 - jnp.cos(epoch * math.pi / epochs)) / 2, 0)
+            lam_tgt = lam_tgt_f * (lrf - 1.0) + 1.0
+        else:
+            lam_now = jnp.maximum(1 - (epoch - 1) / epochs, 0) * (1 - lrf) + lrf
+            lam_tgt = jnp.maximum(1 - epoch / epochs, 0) * (1 - lrf) + lrf
+        base = lr0 * lam_now
+        start = warmup_bias_lr if bias_group else 0.0
+        tgt = lr0 * lam_tgt
+        warm = start + jnp.clip(ni / nw, 0.0, 1.0) * (tgt - start)
+        return jnp.where(ni <= nw, warm, base)
+
+    return sched
+
+
+def param_group(path: Tuple[str, ...]) -> str:
+    """bias | bn | weight group per leaf (disjoint; see module docstring)."""
+    leaf = path[-1]
+    if leaf == "bias":
+        return "bias"
+    if leaf == "scale":
+        return "bn"
+    return "weight"
+
+
+def make_optimizer(*, nc: int, epochs: int, steps_per_epoch: int,
+                   warmup_epochs: int = 3, warmup_bias_lr: float = 0.1,
+                   use_cos_lr: bool = False, lrf: float = 0.01,
+                   weight_decay: float = 5e-4) -> optax.GradientTransformation:
+    common = dict(nc=nc, epochs=epochs, steps_per_epoch=steps_per_epoch,
+                  warmup_epochs=warmup_epochs, warmup_bias_lr=warmup_bias_lr,
+                  use_cos_lr=use_cos_lr, lrf=lrf)
+
+    def adamw(sched, wd):
+        return optax.adamw(learning_rate=sched, b1=0.9, b2=0.999, eps=1e-8,
+                           weight_decay=wd)
+
+    tx = optax.multi_transform(
+        {"bias": adamw(make_lr_schedule(bias_group=True, **common), 0.0),
+         "bn": adamw(make_lr_schedule(**common), 0.0),
+         "weight": adamw(make_lr_schedule(**common), weight_decay)},
+        param_labels=lambda params: jax.tree_util.tree_map_with_path(
+            lambda path, _: param_group(
+                tuple(p.key for p in path)), params))
+    return tx
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+    @classmethod
+    def create(cls, variables, tx):
+        params = variables["params"]
+        return cls(step=jnp.zeros((), jnp.int32), params=params,
+                   batch_stats=variables.get("batch_stats", {}),
+                   opt_state=tx.init(params), tx=tx)
+
+    @property
+    def variables(self):
+        return {"params": self.params, "batch_stats": self.batch_stats}
+
+
+def make_train_step(net, loss_fn, *, compute_dtype=jnp.float32,
+                    mesh=None, donate: bool = True):
+    """Build the jitted data-parallel train step.
+
+    loss_fn(preds, batch, **loss_kwargs) -> (scalar_loss, items).
+    When a mesh is given, batch args are sharded on the data axis and the
+    state is replicated — XLA derives the gradient psum over ICI.
+    """
+
+    def step_fn(state: TrainState, batch: Dict, loss_kwargs: Dict):
+        images = batch["images"].astype(compute_dtype)
+
+        def loss_of(params):
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            preds, updates = net.apply(variables, images, True,
+                                       mutable=["batch_stats"])
+            loss, items = loss_fn(preds, batch, **loss_kwargs)
+            return loss, (items, updates["batch_stats"])
+
+        grad_fn = jax.value_and_grad(loss_of, has_aux=True)
+        (loss, (items, new_stats)), grads = grad_fn(state.params)
+        updates, new_opt = state.tx.update(grads, state.opt_state,
+                                           state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(step=state.step + 1, params=new_params,
+                                  batch_stats=new_stats, opt_state=new_opt)
+        return new_state, loss, items
+
+    if mesh is not None:
+        bsh = batch_sharding(mesh)
+        rep = replicated(mesh)
+        return jax.jit(
+            step_fn,
+            in_shardings=(rep, bsh, None),
+            out_shardings=(rep, rep, rep),
+            donate_argnums=(0,) if donate else (),
+            static_argnames=(),
+        )
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(net, loss_fn, decode_fn, *, compute_dtype=jnp.float32,
+                   mesh=None):
+    """Jitted eval: loss items + decoded inference tensor for metrics."""
+
+    def step_fn(variables, batch, loss_kwargs: Dict):
+        images = batch["images"].astype(compute_dtype)
+        preds = net.apply(variables, images, False)
+        _, items = loss_fn(preds, batch, **loss_kwargs)
+        inference = decode_fn(preds)
+        return items, inference
+
+    if mesh is not None:
+        bsh = batch_sharding(mesh)
+        rep = replicated(mesh)
+        return jax.jit(step_fn, in_shardings=(rep, bsh, None),
+                       out_shardings=(rep, None))
+    return jax.jit(step_fn)
