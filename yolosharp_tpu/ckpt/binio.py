@@ -78,7 +78,19 @@ def _write_csharp_string(f, s: str) -> None:
 
 
 def load_bin(path: str) -> Dict[str, np.ndarray]:
-    """Read a YoloSharp .bin into {name: ndarray} (native dtypes kept)."""
+    """Read a YoloSharp .bin into {name: ndarray} (native dtypes kept).
+
+    Uses the C++ single-pass parser (native/yolosharp_native.cpp) when the
+    toolchain is available; byte-identical pure-Python fallback below.
+    """
+    try:
+        from ..native import parse_bin_native
+
+        native = parse_bin_native(path)
+        if native is not None:
+            return native
+    except Exception:
+        pass
     out: Dict[str, np.ndarray] = {}
     with open(path, "rb") as f:
         count = _read_leb128(f)

@@ -47,9 +47,16 @@ class AttentionPSA(nn.Module):
         qkv = qkv.reshape(b, n, nh, 2 * kd + hd)
         q, k, v = jnp.split(qkv, [kd, 2 * kd], axis=-1)
 
-        attn = jnp.einsum("bihd,bjhd->bhij", q * scale, k)
-        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(x.dtype)
-        out = jnp.einsum("bhij,bjhd->bihd", attn, v).reshape(b, h, w, c)
+        from ..kernels import attention_bihd
+
+        if kd == hd:
+            out = attention_bihd(q, k, v, scale).reshape(b, h, w, c)
+        else:
+            # mixed key/value head dims (attn_ratio != 1): einsum path
+            attn = jnp.einsum("bihd,bjhd->bhij", q * scale, k)
+            attn = jax.nn.softmax(attn.astype(jnp.float32),
+                                  axis=-1).astype(x.dtype)
+            out = jnp.einsum("bhij,bjhd->bihd", attn, v).reshape(b, h, w, c)
         v_map = v.reshape(b, h, w, c)
         out = out + ConvBN(self.dim, 3, g=self.dim, name="pe")(v_map, train)
         return ConvBN(self.dim, 1, name="proj")(out, train)
@@ -118,9 +125,9 @@ class AAttn(nn.Module):
         qkv = qkv.reshape(bb, nn_, nh, 3 * hd)
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
-        attn = jnp.einsum("bihd,bjhd->bhij", q * scale, k)
-        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(x.dtype)
-        out = jnp.einsum("bhij,bjhd->bihd", attn, v)
+        from ..kernels import attention_bihd
+
+        out = attention_bihd(q, k, v, scale)
 
         out = out.reshape(b, h, w, c)
         v_map = v.reshape(b, h, w, c)
