@@ -1,0 +1,58 @@
+"""Tests for pure-params transforms: bias_init priors and Conv+BN folding."""
+
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from yolosharp_tpu.ckpt.fuse import bias_init, fold_bn
+from yolosharp_tpu.ckpt.mapping import flatten
+from yolosharp_tpu.nn import ArchCfg, YoloNet
+
+
+def _init(cfg, hw=64):
+    net = YoloNet(cfg)
+    x = jnp.zeros((1, hw, hw, 3), jnp.float32)
+    return net, net.init(jax.random.PRNGKey(0), x, False), x
+
+
+def test_bias_init_sets_priors():
+    cfg = ArchCfg(version="v8", size="n", task="detect", nc=20, end2end=True)
+    net, variables, _ = _init(cfg)
+    out = bias_init(variables, nc=20, imgsz=640)
+    f = flatten(out["params"])
+    np.testing.assert_allclose(f["22.cv2.0.2.bias"], 1.0)
+    np.testing.assert_allclose(f["22.one2one_cv2.1.2.bias"], 1.0)
+    want0 = math.log(5 / 20 / (640 / 8) ** 2)
+    want2 = math.log(5 / 20 / (640 / 32) ** 2)
+    np.testing.assert_allclose(f["22.cv3.0.2.bias"], want0, rtol=1e-6)
+    np.testing.assert_allclose(f["22.cv3.2.2.bias"], want2, rtol=1e-6)
+    # non-head params untouched
+    np.testing.assert_array_equal(
+        f["0.conv.kernel"], flatten(variables["params"])["0.conv.kernel"])
+
+
+def test_fold_bn_preserves_eval_outputs():
+    cfg = ArchCfg(version="v8", size="n", task="detect", nc=8)
+    net, variables, x = _init(cfg)
+    # jitter stats so folding is non-trivial
+    import jax.tree_util as jtu
+
+    variables = dict(variables)
+    variables["batch_stats"] = jtu.tree_map_with_path(
+        lambda p, v: v + 0.1 if p[-1].key == "mean" else v * 1.5 + 0.01,
+        variables["batch_stats"])
+
+    rng = np.random.default_rng(0)
+    xin = jnp.asarray(rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32))
+    before = net.apply(variables, xin, False)
+    fused = fold_bn(variables)
+    after = net.apply(fused, xin, False)
+    for lvl in range(3):
+        np.testing.assert_allclose(
+            np.asarray(after["one2many"]["box"][lvl]),
+            np.asarray(before["one2many"]["box"][lvl]), rtol=2e-3, atol=2e-3)
+        np.testing.assert_allclose(
+            np.asarray(after["one2many"]["cls"][lvl]),
+            np.asarray(before["one2many"]["cls"][lvl]), rtol=2e-3, atol=2e-3)

@@ -1,0 +1,54 @@
+"""Full-state resume round-trip: optimizer moments, BN stats, and step
+counter must survive serialization exactly."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from yolosharp_tpu.ckpt.resume import restore_train_state, save_train_state
+from yolosharp_tpu.loss import detection_loss
+from yolosharp_tpu.nn import ArchCfg, YoloNet
+from yolosharp_tpu.train import TrainState, make_optimizer, make_train_step
+
+
+def test_resume_roundtrip(tmp_path):
+    cfg = ArchCfg(version="v8", size="n", task="detect", nc=4)
+    net = YoloNet(cfg)
+    variables = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
+                         False)
+    tx = make_optimizer(nc=4, epochs=3, steps_per_epoch=2)
+    state = TrainState.create(variables, tx)
+
+    def loss_fn(preds, batch):
+        return detection_loss(preds["one2many"], batch, nc=4)
+
+    step = make_train_step(net, loss_fn, donate=False)
+    rng = np.random.default_rng(0)
+    batch = {
+        "images": rng.uniform(0, 1, (2, 64, 64, 3)).astype(np.float32),
+        "cls": rng.integers(0, 4, (2, 4)).astype(np.int32),
+        "bboxes": rng.uniform(0.3, 0.6, (2, 4, 4)).astype(np.float32),
+        "mask_gt": np.ones((2, 4), bool),
+    }
+    state, _, _ = step(state, batch, {})
+    state, _, _ = step(state, batch, {})
+
+    p = str(tmp_path / "state.npz")
+    save_train_state(p, state, {"epoch": 7})
+
+    fresh = TrainState.create(variables, tx)
+    restored, meta = restore_train_state(p, fresh)
+    assert meta["epoch"] == 7
+    assert int(restored.step) == int(state.step) == 2
+
+    for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree_util.tree_leaves(state.opt_state),
+                    jax.tree_util.tree_leaves(restored.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # next step from the restored state is identical to continuing
+    s1, l1, _ = step(state, batch, {})
+    s2, l2, _ = step(restored, batch, {})
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)

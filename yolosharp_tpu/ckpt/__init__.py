@@ -15,6 +15,19 @@ def load_state_dict_file(path: str):
     return load_bin(path)
 
 
+def convert_checkpoint(src: str, dst: str, dtype=None):
+    """Convert any supported checkpoint into a YoloSharp-format .bin
+    (the Tools.TransModelFromSafetensors/LoadTensorFromPT equivalent,
+    Utils/Tools.cs:16-117)."""
+    import numpy as np
+
+    sd = load_state_dict_file(src)
+    if dtype is not None:
+        sd = {k: np.asarray(v).astype(dtype) for k, v in sd.items()}
+    save_bin(dst, sd)
+    return len(sd)
+
+
 __all__ = [
     "load_bin", "save_bin", "load_pt", "load_safetensors", "save_safetensors",
     "load_state_dict_file", "LoadReport", "clone_one2one", "flatten",

@@ -343,6 +343,45 @@ def classification_loss(preds: Dict, batch: Dict):
     return loss, jnp.stack([loss])
 
 
+def focal_loss(logits, targets, gamma: float = 1.5, alpha: float = 0.25):
+    """Focal loss over BCE-with-logits (Loss.cs:55-92)."""
+    loss = bce_logits(logits, targets)
+    prob = jax.nn.sigmoid(logits)
+    p_t = targets * prob + (1 - targets) * (1 - prob)
+    alpha_factor = targets * alpha + (1 - targets) * (1 - alpha)
+    return (loss * alpha_factor * (1.0 - p_t) ** gamma).mean()
+
+
+def bce_blur_loss(logits, targets, alpha: float = 0.05):
+    """BCE with missing-label blur (Loss.cs:29-53)."""
+    loss = bce_logits(logits, targets)
+    pred = jax.nn.sigmoid(logits)
+    dx = pred - targets
+    alpha_factor = 1 - jnp.exp((dx - 1) / (alpha + 1e-4))
+    return (loss * alpha_factor).mean()
+
+
+def multi_channel_dice_loss(pred_logits, target, smooth: float = 1e-6):
+    """Multi-channel Dice on NCHW-style (B, C, H, W) masks (Loss.cs:233-278)."""
+    pred = jax.nn.sigmoid(pred_logits)
+    inter = (pred * target).sum((-2, -1))
+    union = pred.sum((-2, -1)) + target.sum((-2, -1))
+    dice = (2.0 * inter + smooth) / (union + smooth)
+    return (1.0 - dice).mean()
+
+
+def bce_dice_loss(pred_logits, target, weight_bce: float = 0.5,
+                  weight_dice: float = 0.5):
+    """Combined BCE + Dice for semantic-seg heads (Loss.cs:283-325)."""
+    if target.shape[-2:] != pred_logits.shape[-2:]:
+        target = jax.image.resize(target, target.shape[:-2]
+                                  + pred_logits.shape[-2:], "nearest")
+    bce = bce_logits(pred_logits, target).mean()
+    return (weight_bce * bce
+            + weight_dice * multi_channel_dice_loss(pred_logits, target,
+                                                    smooth=1.0))
+
+
 def e2e_wrap(loss_fn_many, loss_fn_one):
     """End2End dual loss: one2many + one2one with o2m/o2o gains.
 

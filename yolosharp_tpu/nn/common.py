@@ -113,6 +113,33 @@ class ConvBN(nn.Module):
         return ACTS[self.act](y)
 
 
+class Conv2(nn.Module):
+    """Simplified RepConv: parallel 3x3 + 1x1 convs sharing one BN.
+
+    Convs.cs:67-103. The reference fuses lazily on first eval forward; here
+    both branches always run (XLA fuses them), and deploy-time folding is a
+    params transform (ckpt/fuse.py).
+    """
+
+    c2: int
+    k: int = 3
+    s: int = 1
+    p: Optional[int] = None
+    g: int = 1
+    d: int = 1
+    act: str = "silu"
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = Conv2d(self.c2, self.k, self.s, self.p, self.g, self.d,
+                   use_bias=False, name="conv")(x)
+        y = y + Conv2d(self.c2, 1, self.s, 0, self.g, self.d,
+                       use_bias=False, name="cv2")(x)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.97,
+                         epsilon=1e-3, dtype=jnp.float32, name="bn")(y)
+        return ACTS[self.act](y)
+
+
 class DWConv(ConvBN):
     """Depthwise conv: groups = gcd(c1, c2); c1 resolved at call time."""
 
@@ -168,6 +195,44 @@ class ConvTranspose2dRaw(nn.Module):
                               (self.c2,))
             y = y + bias.astype(y.dtype)
         return y
+
+
+class DWConvTranspose2d(nn.Module):
+    """Depthwise transpose conv (groups = gcd(c1, c2)). Convs.cs:139-152.
+
+    Grouped transpose conv expressed as per-group dilated convs; for the
+    depthwise case (g == c1 == c2) this is a single feature-grouped conv.
+    """
+
+    c2: int
+    k: int = 1
+    s: int = 1
+    p1: int = 0
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c1 = x.shape[-1]
+        g = math.gcd(c1, self.c2)
+        kernel = self.param("kernel", torch_kernel_init,
+                            (self.k, self.k, c1 // g, self.c2))
+        pad = self.k - 1 - self.p1
+        y = jax.lax.conv_general_dilated(
+            x, jnp.flip(kernel, axis=(0, 1)).astype(x.dtype),
+            window_strides=(1, 1), padding=((pad, pad), (pad, pad)),
+            lhs_dilation=(self.s, self.s), feature_group_count=g,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        bias = self.param("bias", torch_bias_init(
+            self.k * self.k * (c1 // g)), (self.c2,))
+        return y + bias.astype(y.dtype)
+
+
+class Index(nn.Module):
+    """Select one tensor from a list (Convs.cs:453-466)."""
+
+    index: int = 0
+
+    def __call__(self, xs, train: bool = False):
+        return xs[self.index]
 
 
 class ConvTranspose(nn.Module):

@@ -105,6 +105,16 @@ def xyxyxyxy2xywhr(corners) -> jnp.ndarray:
     return out.reshape(np.asarray(corners).shape[:-2] + (5,))
 
 
+def sort_obb_corners(corners: jnp.ndarray) -> jnp.ndarray:
+    """Sort OBB corner points counter-clockwise by angle around the center
+    (Ops.cs:204-218). corners: (n, 4, 2)."""
+    centers = corners.mean(axis=-2, keepdims=True)
+    d = corners - centers
+    angles = jnp.arctan2(d[..., 1], d[..., 0])
+    order = jnp.argsort(angles, axis=-1)
+    return jnp.take_along_axis(corners, order[..., None], axis=-2)
+
+
 def cxcywhr2xyxyxyxy(x):
     """Scalar-form corner expansion used by demo drawing (Ops.cs:491-513)."""
     import numpy as np

@@ -75,6 +75,12 @@ class BaseTask:
         if self.variables is None:
             x = jnp.zeros((1, 128, 128, 3), jnp.float32)
             self.variables = self.net.init(jax.random.PRNGKey(0), x, False)
+            if self.task != TaskType.classify:
+                from .ckpt.fuse import bias_init
+
+                self.variables = bias_init(self.variables,
+                                           self.config.number_class,
+                                           self.config.image_size)
         return self.variables
 
     # ---------------------------------------------------------- checkpoint
@@ -95,6 +101,11 @@ class BaseTask:
                                                    strict_shapes=False)
         if self.arch.end2end:
             new_vars = clone_one2one(new_vars)
+        if report.skipped and self.task != TaskType.classify:
+            from .ckpt.fuse import bias_init
+
+            new_vars = bias_init(new_vars, self.config.number_class,
+                                 self.config.image_size)
         self.variables = new_vars
         self._predict_cache.clear()
         print(f"Model loaded: {report}")
@@ -123,7 +134,7 @@ class BaseTask:
         va = YoloDataset(self.config, is_val=True)
         return tr, va
 
-    def train(self):
+    def train(self, resume_from: Optional[str] = None):
         cfg = self.config
         print("Start Training:")
         print(cfg.describe())
@@ -149,6 +160,14 @@ class BaseTask:
                             warmup_bias_lr=cfg.warm_up_bias_lr,
                             use_cos_lr=cfg.use_cos_lr, lrf=cfg.lrf)
         state = TrainState.create(self._ensure_variables(), tx)
+        start_epoch = 1
+        if resume_from:
+            from .ckpt.resume import restore_train_state
+
+            state, meta = restore_train_state(resume_from, state)
+            start_epoch = int(meta.get("epoch", 0)) + 1
+            print(f"Resumed full train state from {resume_from} "
+                  f"(continuing at epoch {start_epoch}).")
 
         n_dev = len(jax.devices())
         mesh = create_mesh() if n_dev > 1 and cfg.batch_size % n_dev == 0 \
@@ -162,13 +181,20 @@ class BaseTask:
         weights_dir = os.path.join(out_dir, "weights")
         os.makedirs(weights_dir, exist_ok=True)
 
-        for epoch in range(1, cfg.epochs + 1):
+        for epoch in range(start_epoch, cfg.epochs + 1):
             t0 = time.time()
             train_ds.close_mosaic(epoch > cfg.close_mosaic)
             loss_kwargs = self._loss_kwargs(epoch)
             items_sum = None
             nbatch = 0
-            for batch in train_dl:
+            try:
+                from tqdm import tqdm
+
+                pbar = tqdm(train_dl, total=nb,
+                            desc=f"epoch {epoch}/{cfg.epochs}", leave=False)
+            except ImportError:
+                pbar = train_dl
+            for batch in pbar:
                 jb = shard_batch(batch, mesh) if mesh else batch
                 state, loss, items = step_fn(state, jb, loss_kwargs)
                 items_sum = items if items_sum is None else items_sum + items
@@ -186,6 +212,10 @@ class BaseTask:
             if stopper.should_stop(fitness, epoch):
                 break
             self.save_weight(os.path.join(weights_dir, "last.bin"))
+            from .ckpt.resume import save_train_state
+
+            save_train_state(os.path.join(weights_dir, "last_state.npz"),
+                             state, {"epoch": epoch})
             dt = time.time() - t0
             loss_str = " ".join(f"{n}={v / max(len(train_ds), 1):.3f}"
                                 for n, v in zip(self.loss_names, train_items))

@@ -148,12 +148,18 @@ class TrainState(struct.PyTreeNode):
 
 
 def make_train_step(net, loss_fn, *, compute_dtype=jnp.float32,
-                    mesh=None, donate: bool = True):
+                    mesh=None, donate: bool = True,
+                    skip_nonfinite: bool = True):
     """Build the jitted data-parallel train step.
 
     loss_fn(preds, batch, **loss_kwargs) -> (scalar_loss, items).
     When a mesh is given, batch args are sharded on the data axis and the
     state is replicated — XLA derives the gradient psum over ICI.
+
+    skip_nonfinite mirrors the reference AMP's inf/NaN-gradient step
+    skipping (Utils/Amp.cs:350-361): if any gradient is non-finite, the
+    optimizer state and params keep their previous values (branch-free
+    select, no host sync).
     """
 
     def step_fn(state: TrainState, batch: Dict, loss_kwargs: Dict):
@@ -171,6 +177,17 @@ def make_train_step(net, loss_fn, *, compute_dtype=jnp.float32,
         updates, new_opt = state.tx.update(grads, state.opt_state,
                                            state.params)
         new_params = optax.apply_updates(state.params, updates)
+        if skip_nonfinite:
+            finite = jnp.all(jnp.asarray(
+                [jnp.isfinite(g).all() for g in
+                 jax.tree_util.tree_leaves(grads)]))
+
+            def sel(new, old):
+                return jax.tree_util.tree_map(
+                    lambda n, o: jnp.where(finite, n, o), new, old)
+
+            new_params = sel(new_params, state.params)
+            new_opt = sel(new_opt, state.opt_state)
         new_state = state.replace(step=state.step + 1, params=new_params,
                                   batch_stats=new_stats, opt_state=new_opt)
         return new_state, loss, items
