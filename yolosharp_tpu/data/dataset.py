@@ -195,16 +195,22 @@ class ClassificationDataset:
                     img = img[top:top + chh, left:left + cw]
                     break
             img = cv2.resize(img, (s, s), interpolation=cv2.INTER_LINEAR)
-            if self.rng.uniform() < 0.5:
-                img = img[:, ::-1]
-            if cfg.erasing > 0 and self.rng.uniform() < cfg.erasing:
-                eh = int(s * self.rng.uniform(0.05, 0.2))
-                ew = int(s * self.rng.uniform(0.05, 0.2))
-                et = int(self.rng.integers(0, s - eh))
-                el = int(self.rng.integers(0, s - ew))
-                img = img.copy()
-                img[et:et + eh, el:el + ew] = self.rng.integers(
-                    0, 256, (eh, ew, 3), np.uint8)
+            if cfg.flip_lr > 0 and self.rng.uniform() < cfg.flip_lr:
+                img = np.ascontiguousarray(img[:, ::-1])
+            if cfg.flip_ud > 0 and self.rng.uniform() < cfg.flip_ud:
+                img = np.ascontiguousarray(img[::-1])
+
+            from . import classify_augment as CA
+
+            aat = cfg.auto_augment
+            if aat.value == "autoaugment":
+                img = CA.auto_augment(img, self.rng)
+            elif aat.value == "randaugment":
+                img = CA.rand_augment(img, self.rng)
+            elif aat.value == "augmix":
+                img = CA.augmix(img, self.rng)
+            if cfg.erasing > 0:
+                img = CA.random_erasing(img, self.rng, p=cfg.erasing)
         return {"image": np.ascontiguousarray(img), "cls": ci}
 
     def collate(self, items, max_labels: int) -> Dict[str, np.ndarray]:
