@@ -46,8 +46,8 @@ def test_train_batch_shapes_mosaic():
     dl = DataLoader(ds, batch_size=4, workers=2, seed=0)
     batch = next(iter(dl))
     assert batch["images"].shape == (4, 320, 320, 3)
-    assert batch["images"].dtype == np.float32
-    assert 0.0 <= batch["images"].min() and batch["images"].max() <= 1.0
+    # uint8 on the wire; the jitted step normalizes on device
+    assert batch["images"].dtype == np.uint8
     m = dl.max_labels
     assert batch["cls"].shape == (4, m)
     assert batch["bboxes"].shape == (4, m, 4)

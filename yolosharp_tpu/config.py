@@ -36,7 +36,9 @@ class Config:
     yolo_type: YoloType = YoloType.v8
     yolo_size: YoloSize = YoloSize.n
     task_type: TaskType = TaskType.detect
-    scalar_type: ScalarType = ScalarType.float32
+    # reference default is Float16 (Config.cs:105); on TPU that maps to
+    # bfloat16 compute with fp32 params
+    scalar_type: ScalarType = ScalarType.float16
     image_process_type: ImageProcessType = ImageProcessType.mosaic
 
     patience: int = 50

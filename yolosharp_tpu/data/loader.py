@@ -18,6 +18,31 @@ from typing import Dict, Iterator, Optional
 import numpy as np
 
 
+def device_prefetch(iterable, put_fn, depth: int = 2):
+    """Move batches to device `depth` steps ahead of consumption.
+
+    jax transfers are async, so putting the next batch while the current
+    step executes overlaps host->HBM traffic with compute — essential when
+    the host link is slow (remote/tunneled TPU).
+    """
+    import collections
+
+    it = iter(iterable)
+    buf = collections.deque()
+    try:
+        for _ in range(depth):
+            buf.append(put_fn(next(it)))
+    except StopIteration:
+        pass
+    while buf:
+        out = buf.popleft()
+        try:
+            buf.append(put_fn(next(it)))
+        except StopIteration:
+            pass
+        yield out
+
+
 class DataLoader:
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  workers: int = 4, max_labels: Optional[int] = None,

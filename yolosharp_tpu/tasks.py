@@ -187,20 +187,27 @@ class BaseTask:
             loss_kwargs = self._loss_kwargs(epoch)
             items_sum = None
             nbatch = 0
+            from .data.loader import device_prefetch
+
+            put = ((lambda b: shard_batch(b, mesh)) if mesh
+                   else (lambda b: jax.device_put(b)))
+            stream = device_prefetch(train_dl, put, depth=2)
             try:
                 from tqdm import tqdm
 
-                pbar = tqdm(train_dl, total=nb,
+                pbar = tqdm(stream, total=nb,
                             desc=f"epoch {epoch}/{cfg.epochs}", leave=False)
             except ImportError:
-                pbar = train_dl
-            for batch in pbar:
-                jb = shard_batch(batch, mesh) if mesh else batch
+                pbar = stream
+            for jb in pbar:
                 state, loss, items = step_fn(state, jb, loss_kwargs)
                 items_sum = items if items_sum is None else items_sum + items
                 nbatch += 1
-            train_items = np.asarray(items_sum) * cfg.batch_size \
-                if items_sum is not None else np.zeros(len(self.loss_names))
+            # reference semantics: loss_detach items are per-batch means,
+            # accumulated over batches and divided by dataset size in the log
+            # (TrainEpoch:329-334 + WriteLog:229-232)
+            train_items = (np.asarray(items_sum) if items_sum is not None
+                           else np.zeros(len(self.loss_names)))
             self.variables = state.variables
 
             val_items, metrics = self.val(val_dl, epoch)
@@ -243,7 +250,9 @@ class BaseTask:
 
             @jax.jit
             def eval_step(variables, batch, loss_kwargs):
-                images = batch["images"].astype(cfg.compute_dtype)
+                from .train import normalize_images
+
+                images = normalize_images(batch["images"], cfg.compute_dtype)
                 preds = self.net.apply(variables, images, False)
                 _, items = eval_loss_fn(preds, batch, **loss_kwargs)
                 decoded = self._decode_for_val(preds)
@@ -260,13 +269,15 @@ class BaseTask:
         acc = self._new_val_accumulator()
         items_sum = None
         count = 0
-        for batch in val_dl:
-            items, decoded = eval_step(variables, batch, loss_kwargs)
+        from .data.loader import device_prefetch
+
+        for batch, jb in device_prefetch(
+                val_dl, lambda b: (b, jax.device_put(b)), depth=2):
+            items, decoded = eval_step(variables, jb, loss_kwargs)
             items_sum = items if items_sum is None else items_sum + items
             self._accumulate_val(acc, batch, jax.device_get(decoded))
             count += batch["images"].shape[0]
-        val_items = (np.asarray(items_sum) * self.config.batch_size
-                     if items_sum is not None
+        val_items = (np.asarray(items_sum) if items_sum is not None
                      else np.zeros(len(self.loss_names)))
         metrics = self._finalize_val(acc, count)
         return val_items, metrics

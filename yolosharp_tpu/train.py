@@ -128,6 +128,14 @@ def make_optimizer(*, nc: int, epochs: int, steps_per_epoch: int,
     return tx
 
 
+def normalize_images(images, compute_dtype):
+    """uint8 batches are normalized on device (keeps host->HBM traffic 4x
+    smaller); float batches are assumed pre-normalized."""
+    if images.dtype == jnp.uint8:
+        return images.astype(compute_dtype) / 255.0
+    return images.astype(compute_dtype)
+
+
 class TrainState(struct.PyTreeNode):
     step: jnp.ndarray
     params: Any
@@ -163,7 +171,7 @@ def make_train_step(net, loss_fn, *, compute_dtype=jnp.float32,
     """
 
     def step_fn(state: TrainState, batch: Dict, loss_kwargs: Dict):
-        images = batch["images"].astype(compute_dtype)
+        images = normalize_images(batch["images"], compute_dtype)
 
         def loss_of(params):
             variables = {"params": params, "batch_stats": state.batch_stats}
@@ -210,7 +218,7 @@ def make_eval_step(net, loss_fn, decode_fn, *, compute_dtype=jnp.float32,
     """Jitted eval: loss items + decoded inference tensor for metrics."""
 
     def step_fn(variables, batch, loss_kwargs: Dict):
-        images = batch["images"].astype(compute_dtype)
+        images = normalize_images(batch["images"], compute_dtype)
         preds = net.apply(variables, images, False)
         _, items = loss_fn(preds, batch, **loss_kwargs)
         inference = decode_fn(preds)
