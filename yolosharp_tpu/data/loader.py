@@ -76,9 +76,12 @@ class DataLoader:
             if len(idx) < self.batch_size:
                 if self.drop_last:
                     return
-                # right-pad the final batch by wrapping (keeps shapes static)
+                # pad the final batch by repeating its own rows: keeps the
+                # batch shape static AND keeps rectangle-shape groups intact
+                # (samples from other batches may have different val shapes)
                 pad = self.batch_size - len(idx)
-                idx = np.concatenate([idx, order[:pad]])
+                reps = np.resize(idx, pad)
+                idx = np.concatenate([idx, reps])
             yield idx
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
