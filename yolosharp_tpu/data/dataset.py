@@ -78,12 +78,22 @@ class YoloDataset:
         """Stack transformed records into one padded batch dict."""
         cfg = self.config
         b = len(recs)
-        h, w = recs[0].img.shape[:2]
+        # pad to the batch max (bottom/right, gray) if shapes differ — keeps
+        # label pixel coords valid since all transforms pad top-left-anchored
+        h = max(r.img.shape[0] for r in recs)
+        w = max(r.img.shape[1] for r in recs)
         nbox = 5 if self.task == TaskType.obb else 4
+
+        def pad_to(img, th, tw, fill):
+            if img.shape[0] == th and img.shape[1] == tw:
+                return img
+            out = np.full((th, tw) + img.shape[2:], fill, img.dtype)
+            out[:img.shape[0], :img.shape[1]] = img
+            return out
 
         # images stay uint8: 4x less host->device traffic; the jitted step
         # normalizes on device (reference moves fp tensors, YoloDataset.cs:140)
-        images = np.stack([r.img for r in recs])
+        images = np.stack([pad_to(r.img, h, w, 114) for r in recs])
         cls = np.zeros((b, max_labels), np.int32)
         bboxes = np.zeros((b, max_labels, nbox), np.float32)
         mask_gt = np.zeros((b, max_labels), bool)
@@ -95,9 +105,10 @@ class YoloDataset:
                 (b, max_labels, cfg.keypoint_num, cfg.keypoint_dim),
                 np.float32)
         if self.task == TaskType.segment:
+            mh, mw = h // cfg.mask_ratio, w // cfg.mask_ratio
             out["masks"] = np.stack([
-                r.mask if r.mask is not None else
-                np.zeros((h // cfg.mask_ratio, w // cfg.mask_ratio), np.uint8)
+                pad_to(r.mask, mh, mw, 0) if r.mask is not None else
+                np.zeros((mh, mw), np.uint8)
                 for r in recs]).astype(np.float32)
 
         for i, r in enumerate(recs):
