@@ -78,9 +78,10 @@ class BaseTask:
             if self.task != TaskType.classify:
                 from .ckpt.fuse import bias_init
 
+                # NB: the prior formula uses the 640 constant regardless
+                # of configured imgsz (Head.cs:135)
                 self.variables = bias_init(self.variables,
-                                           self.config.number_class,
-                                           self.config.image_size)
+                                           self.config.number_class)
         return self.variables
 
     # ---------------------------------------------------------- checkpoint
@@ -104,8 +105,7 @@ class BaseTask:
         if report.skipped and self.task != TaskType.classify:
             from .ckpt.fuse import bias_init
 
-            new_vars = bias_init(new_vars, self.config.number_class,
-                                 self.config.image_size)
+            new_vars = bias_init(new_vars, self.config.number_class)
         self.variables = new_vars
         self._predict_cache.clear()
         print(f"Model loaded: {report}")
