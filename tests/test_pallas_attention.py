@@ -34,6 +34,34 @@ def test_fused_attention_matches_einsum(b, h, n, d):
                                rtol=2e-4, atol=2e-5)
 
 
+def test_custom_vjp_matches_autodiff():
+    """The hand-written backward (used with the Pallas forward on TPU) must
+    match jax.grad through the einsum formulation."""
+    from yolosharp_tpu.kernels.attention import (_einsum_attention,
+                                                 _pallas_attn_bwd)
+
+    key = jax.random.PRNGKey(3)
+    kq, kk, kv, kg = jax.random.split(key, 4)
+    b, n, h, d = 2, 50, 2, 32
+    q = jax.random.normal(kq, (b, n, h, d))
+    k = jax.random.normal(kk, (b, n, h, d))
+    v = jax.random.normal(kv, (b, n, h, d))
+    g = jax.random.normal(kg, (b, n, h, d))
+    scale = d ** -0.5
+
+    def f(q, k, v):
+        return (_einsum_attention(q, k, v, scale) * g).sum()
+
+    dq_want, dk_want, dv_want = jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+    dq, dk, dv = _pallas_attn_bwd(scale, (q, k, v), g)
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(dq_want),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dk), np.asarray(dk_want),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(dv_want),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_fused_attention_row_padding():
     # n not a multiple of block_rows exercises the pad/crop path
     key = jax.random.PRNGKey(1)

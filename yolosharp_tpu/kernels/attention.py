@@ -79,17 +79,51 @@ def fused_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     return out[:, :, :n] if pad else out
 
 
+def _einsum_attention(q, k, v, scale):
+    """XLA reference formulation over (B, N, H, D)."""
+    attn = jnp.einsum("bihd,bjhd->bhij", q * scale, k)
+    attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(q.dtype)
+    return jnp.einsum("bhij,bjhd->bihd", attn, v)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _pallas_attention_bihd(q, k, v, scale):
+    o = fused_attention(q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+                        v.transpose(0, 2, 1, 3), scale=scale)
+    return o.transpose(0, 2, 1, 3)
+
+
+def _pallas_attn_fwd(q, k, v, scale):
+    return _pallas_attention_bihd(q, k, v, scale), (q, k, v)
+
+
+def _pallas_attn_bwd(scale, res, g):
+    """Backward recomputes P via einsum (cheap at these sequence lengths);
+    standard softmax-attention gradients."""
+    q, k, v = res
+    s = jnp.einsum("bihd,bjhd->bhij", q * scale, k).astype(jnp.float32)
+    p = jax.nn.softmax(s, axis=-1)
+    g32 = g.astype(jnp.float32)
+    v32 = v.astype(jnp.float32)
+    dv = jnp.einsum("bhij,bihd->bjhd", p, g32)
+    dp = jnp.einsum("bihd,bjhd->bhij", g32, v32)
+    ds = p * (dp - (dp * p).sum(-1, keepdims=True))
+    dq = scale * jnp.einsum("bhij,bjhd->bihd", ds, k.astype(jnp.float32))
+    dk = scale * jnp.einsum("bhij,bihd->bjhd", ds, q.astype(jnp.float32))
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+_pallas_attention_bihd.defvjp(_pallas_attn_fwd, _pallas_attn_bwd)
+
+
 def attention_bihd(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                    scale: float, use_pallas: bool = True) -> jnp.ndarray:
     """(B, N, H, D)-layout wrapper used by the nn attention modules.
 
-    Falls back to the einsum formulation off-TPU (Pallas interpret mode is
-    too slow for production CPU use, and XLA's fusion is fine there).
+    Pallas forward on TPU with a custom VJP (backward recomputes scores via
+    einsum); falls back to the einsum formulation off-TPU (Pallas interpret
+    mode is too slow for production CPU use, and XLA's fusion is fine there).
     """
     if use_pallas and jax.default_backend() == "tpu":
-        o = fused_attention(q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
-                            v.transpose(0, 2, 1, 3), scale=scale)
-        return o.transpose(0, 2, 1, 3)
-    attn = jnp.einsum("bihd,bjhd->bhij", q * scale, k)
-    attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(q.dtype)
-    return jnp.einsum("bhij,bjhd->bihd", attn, v)
+        return _pallas_attention_bihd(q, k, v, scale)
+    return _einsum_attention(q, k, v, scale)
