@@ -1,0 +1,52 @@
+"""YoloTask facade: one full (tiny) train() run — exercises the epoch loop,
+warm-up schedule, val, best/last checkpointing, CSV logging, and curves."""
+
+import os
+
+import numpy as np
+import pytest
+
+ASSETS = "/root/reference/YoloSharpDemo/Assets/DataSets"
+needs_assets = pytest.mark.skipif(not os.path.isdir(ASSETS),
+                                  reason="reference datasets not mounted")
+
+
+@needs_assets
+@pytest.mark.skipif(os.environ.get("RUN_SLOW") != "1",
+                    reason="slow: full train() loop costs ~15 min of CPU "
+                           "compile; components covered by test_e2e_train. "
+                           "Set RUN_SLOW=1 to include.")
+def test_yolotask_train_full_loop(tmp_path, monkeypatch):
+    from yolosharp_tpu import Config, TaskType, YoloSize, YoloType, YoloTask
+    from yolosharp_tpu.types import ImageProcessType
+    import yolosharp_tpu.data.dataset as dsmod
+
+    # shrink the dataset to 6 images for speed
+    orig_load = dsmod.load_labels
+
+    def small_load(config, is_val=False, use_rectangle=False):
+        recs = orig_load(config, is_val=is_val, use_rectangle=use_rectangle)
+        return recs[:6]
+
+    monkeypatch.setattr(dsmod, "load_labels", small_load)
+
+    cfg = Config(
+        root_path=os.path.join(ASSETS, "coco128"),
+        train_data_path="train.txt", val_data_path="val.txt",
+        output_path=str(tmp_path / "run"),
+        task_type=TaskType.detect, yolo_type=YoloType.v8,
+        yolo_size=YoloSize.n, number_class=80, image_size=96,
+        batch_size=2, epochs=2, end2end=False, workers=2,
+        image_process_type=ImageProcessType.letterbox, scalar_type="float32")
+    task = YoloTask(cfg)
+    task.train()
+
+    out = tmp_path / "run"
+    assert (out / "config.txt").exists()
+    assert (out / "log.csv").exists()
+    assert (out / "weights" / "best.bin").exists()
+    assert (out / "weights" / "last.bin").exists()
+    assert (out / "weights" / "last_state.npz").exists()
+    rows = (out / "log.csv").read_text().strip().splitlines()
+    assert len(rows) == 3, rows  # header + 2 epochs
+    assert rows[0].startswith("Epoch,Time,train/box_loss"), rows[0]
