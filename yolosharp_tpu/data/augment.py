@@ -11,7 +11,7 @@ brightness/saturation/hue like the reference, not Ultralytics cv2-gains).
 from __future__ import annotations
 
 import math
-from typing import List, Sequence
+from typing import Sequence
 
 import numpy as np
 

@@ -9,7 +9,7 @@ Data/ClassificationDataset.cs:90-131 and the custom RandomErasing
 from __future__ import annotations
 
 import math
-from typing import Callable, List, Tuple
+from typing import List, Tuple
 
 import numpy as np
 

@@ -21,7 +21,6 @@ step stays on device.
 from __future__ import annotations
 
 import math
-from functools import partial
 from typing import Dict, NamedTuple, Tuple
 
 import jax

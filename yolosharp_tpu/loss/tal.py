@@ -19,7 +19,7 @@ torch.no_grad, Tal.cs:52).
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .common import (ACTS, C3k, ConvBN, torch_bias_init, torch_kernel_init)
+from .common import C3k, ConvBN, torch_bias_init, torch_kernel_init
 
 
 class AttentionPSA(nn.Module):

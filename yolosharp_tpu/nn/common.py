@@ -19,7 +19,7 @@ Design notes (TPU-first, not a translation):
 from __future__ import annotations
 
 import math
-from typing import Any, Callable, Optional, Sequence, Tuple
+from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,7 @@ overrides (Head.cs:309-330, 410-452, 526-563).
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

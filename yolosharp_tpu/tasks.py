@@ -13,7 +13,6 @@ PoseDetector,Classifier}.cs. Differences by design:
 
 from __future__ import annotations
 
-import math
 import os
 import time
 from datetime import datetime
@@ -32,7 +31,7 @@ from .data import ClassificationDataset, DataLoader, YoloDataset
 from .loss import (classification_loss, detection_loss, e2e_gain_schedule,
                    e2e_wrap, obb_loss, pose_loss, segmentation_loss)
 from .nn import ArchCfg, YoloNet
-from .ops import box_iou, kpt_iou, mask_iou, batch_probiou, xyxy2xywh
+from .ops import box_iou, kpt_iou, mask_iou, batch_probiou
 from .ops.masks import process_mask
 from .ops.nms import non_max_suppression
 from .parallel.mesh import create_mesh, shard_batch

@@ -16,10 +16,8 @@ Ultralytics recipe intends.
 
 from __future__ import annotations
 
-import dataclasses
 import math
-from functools import partial
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Callable, Dict, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,7 @@ from __future__ import annotations
 import csv
 import os
 from datetime import datetime
-from typing import Dict, List, Sequence
+from typing import Sequence
 
 
 class EarlyStopping:
