@@ -8,7 +8,10 @@ exposes. Prints ONE JSON line.
 from __future__ import annotations
 
 import json
+import os
 import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 
 
 def main():
