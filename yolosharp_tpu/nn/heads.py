@@ -67,7 +67,8 @@ class Detect(nn.Module):
         return c2, c3
 
     @nn.compact
-    def __call__(self, feats, train: bool = False) -> Dict:
+    def __call__(self, feats, train: bool = False,
+                 skip_one2many: bool = False) -> Dict:
         c2, c3 = self.head_dims()
         nl = len(self.ch)
 
@@ -80,7 +81,9 @@ class Detect(nn.Module):
                     xs[i], train) for i in range(nl))
             return {"box": boxes, "cls": clss}
 
-        preds = {"one2many": run("", feats)}
+        preds = {}
+        if not (skip_one2many and self.end2end):
+            preds["one2many"] = run("", feats)
         if self.end2end:
             detached = tuple(jax.lax.stop_gradient(f) for f in feats)
             preds["one2one"] = run("one2one_", detached)

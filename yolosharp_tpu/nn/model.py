@@ -222,7 +222,9 @@ class YoloNet(nn.Module):
     cfg: ArchCfg
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, skip_one2many: bool = False):
+        """skip_one2many: E2E inference-only mode — the one2many towers are
+        not executed (they are dead weight at NMS-free predict time)."""
         layers, out_idx, concat_idx = build_arch(self.cfg)
         out_idx = set(out_idx)
         outputs, cat_count = [], 0
@@ -237,6 +239,10 @@ class YoloNet(nn.Module):
                 mod = d[1](name=str(i))
                 if self.cfg.task == "classify":
                     return mod(x, train)
+                if skip_one2many and self.cfg.end2end \
+                        and self.cfg.task == "detect":
+                    return mod(tuple(outputs[-3:]), train,
+                               skip_one2many=True)
                 return mod(tuple(outputs[-3:]), train)
             else:
                 x = d[1](name=str(i))(x, train)
