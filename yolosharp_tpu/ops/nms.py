@@ -1,23 +1,32 @@
 """Static-shape, on-device non-maximum suppression.
 
 Functional parity target: YoloSharp/Utils/Ops.cs:239-401 (non_max_suppression,
-nms_rotated). The reference uses dynamic-size torchvision.ops.nms on GPU; on
-TPU everything is fixed-shape: candidates are pre-selected with lax.top_k,
-suppression runs over a padded (K, K) IoU matrix, and results come back as a
-fixed (max_det, ...) block with a validity mask — one bulk device->host
-transfer instead of the reference's scalar-by-scalar reads
+nms_rotated). The reference conf-filters then keeps up to max_nms=30000
+candidates (Ops.cs:242,338-340) and runs dynamic-size torchvision.ops.nms; on
+TPU everything is fixed-shape: candidates are pre-selected with lax.top_k
+(``pre_topk=None`` keeps every anchor — exact reference semantics, since the
+anchor count is always < 30000), suppression runs branch-free, and results
+come back as a fixed (max_det, ...) block with a validity mask — one bulk
+device->host transfer instead of the reference's scalar-by-scalar reads
 (Models/Detector.cs:50-69).
 
-Two suppression modes:
- - greedy: exact torchvision-NMS semantics via a K-step lax.fori_loop.
- - fast:   YOLACT-style single-shot triangular suppression. For rotated boxes
+Suppression modes:
+ - greedy: exact torchvision-NMS semantics. Two TPU implementations chosen
+   statically by candidate count K:
+     * K <= matrix_k: monotone fixed-point iteration on the (K, K) IoU
+       matrix — converges to the exact greedy keep-set in
+       suppression-chain-depth steps (typically < 8), each step one fused
+       masked any-reduce on the VPU.
+     * K >  matrix_k: max_det-step argmax-and-suppress scan — exact greedy,
+       O(K) memory, no (K, K) matrix.
+ - fast: YOLACT-style single-shot triangular suppression. For rotated boxes
    this IS the reference algorithm (nms_rotated use_triu, Ops.cs:373-401).
 """
 
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -37,20 +46,32 @@ class NMSOutput(NamedTuple):
 
 
 def _greedy_suppress(iou: jnp.ndarray, thresh: float) -> jnp.ndarray:
-    """Exact sequential greedy NMS on a score-sorted (K, K) IoU matrix.
+    """Exact greedy NMS keep mask for *score-sorted* boxes.
 
-    Returns keep mask (K,). Row i suppresses j>i iff iou[i, j] > thresh and
-    row i itself was kept.
+    The greedy keep vector is the unique solution of
+    ``keep[j] = ~any_{i<j}(over[i, j] & keep[i])`` (a strictly triangular
+    recursion). The map F(keep) defined by that equation is antitone, so
+    iterating from the all-ones vector converges to the unique fixed point
+    in at most suppression-chain-depth steps (typically < 8); each step is
+    one fused (K, K) masked any-reduce instead of the K-step sequential
+    loop a literal translation would use.
     """
     k = iou.shape[0]
-    over = (iou > thresh) & ~jnp.eye(k, dtype=bool)
+    over = (iou > thresh) & jnp.triu(jnp.ones((k, k), bool), k=1)
 
-    def body(i, suppressed):
-        kept_i = ~suppressed[i]
-        return suppressed | (over[i] & kept_i)
+    def cond(state):
+        keep, prev, it = state
+        return jnp.any(keep != prev) & (it < k)
 
-    suppressed = jax.lax.fori_loop(0, k, body, jnp.zeros((k,), dtype=bool))
-    return ~suppressed
+    def body(state):
+        keep, _, it = state
+        new = ~jnp.any(over & keep[:, None], axis=0)
+        return new, keep, it + 1
+
+    keep0 = jnp.ones((k,), bool)
+    keep, _, _ = jax.lax.while_loop(
+        cond, body, (keep0, jnp.zeros((k,), bool), jnp.int32(0)))
+    return keep
 
 
 def _fast_suppress(iou: jnp.ndarray, thresh: float) -> jnp.ndarray:
@@ -60,8 +81,36 @@ def _fast_suppress(iou: jnp.ndarray, thresh: float) -> jnp.ndarray:
     return ~jnp.any((iou > thresh) & upper, axis=0)
 
 
+def _greedy_argmax_select(boxes, conf, iou_thres, max_det, rotated):
+    """Exact greedy NMS as a max_det-step argmax-and-suppress scan.
+
+    O(K) memory (no pairwise matrix), used for large candidate pools.
+    boxes: (K, 4) xyxy with class offsets applied (or (K, 5) xywhr);
+    conf: (K,) scores, exactly 0 for below-threshold/padding rows.
+    Returns (idx (max_det,), score (max_det,)) in descending-score pick
+    order; score == 0 marks an unused slot.
+    """
+    k = conf.shape[0]
+
+    def step(scores_cur, _):
+        i = jnp.argmax(scores_cur)
+        s = scores_cur[i]
+        box = jax.lax.dynamic_slice_in_dim(boxes, i, 1, axis=0)
+        if rotated:
+            row = batch_probiou(box, boxes)[0]
+        else:
+            row = box_iou(box, boxes)[0]
+        kill = (row > iou_thres) | (jnp.arange(k) == i)
+        scores_new = jnp.where(kill & (s > 0), 0.0, scores_cur)
+        return scores_new, (i.astype(jnp.int32), s)
+
+    _, (idx, score) = jax.lax.scan(step, conf, None, length=max_det)
+    return idx, score
+
+
 @partial(jax.jit, static_argnames=(
-    "max_det", "nc", "pre_topk", "agnostic", "rotated", "mode", "max_wh"))
+    "max_det", "nc", "pre_topk", "agnostic", "rotated", "mode", "max_wh",
+    "matrix_k"))
 def non_max_suppression(
     prediction: jnp.ndarray,
     conf_thres: float = 0.25,
@@ -69,11 +118,12 @@ def non_max_suppression(
     *,
     max_det: int = 300,
     nc: int = 0,
-    pre_topk: int = 1024,
+    pre_topk: Optional[int] = None,
     agnostic: bool = False,
     rotated: bool = False,
     mode: str = "greedy",
     max_wh: float = 7680.0,
+    matrix_k: int = 2048,
 ) -> NMSOutput:
     """Batched fixed-shape NMS.
 
@@ -82,6 +132,11 @@ def non_max_suppression(
         (already sigmoided), extras (mask coeffs / kpts; angle last when
         rotated). Channel-first to match the head contract.
       nc: number of classes (0 -> infer as C-4, no extras).
+      pre_topk: candidate cap before suppression. None keeps every anchor
+        (reference max_nms=30000 semantics — the anchor count is always
+        smaller); an int trades a small dense-scene recall risk for speed.
+      matrix_k: static switch point between the (K, K)-matrix greedy
+        implementation and the O(K)-memory argmax-suppress scan.
     Returns NMSOutput with static shapes.
     """
     bs, ch, _na = prediction.shape
@@ -97,8 +152,9 @@ def non_max_suppression(
     cls_id = cls_scores.argmax(-1).astype(jnp.int32)
     conf = jnp.where(conf > conf_thres, conf, 0.0)
 
-    k = min(pre_topk, conf.shape[-1])
+    k = conf.shape[-1] if pre_topk is None else min(pre_topk, conf.shape[-1])
     top_conf, top_idx = jax.lax.top_k(conf, k)  # (B, K)
+    use_matrix = (mode == "fast") or rotated or k <= matrix_k
 
     def per_image(conf_k, idx, boxes_a, cls_a, extras_a):
         box = jnp.take_along_axis(boxes_a, idx[:, None], axis=0)
@@ -110,32 +166,40 @@ def non_max_suppression(
         if rotated:
             # extras' last channel is the angle; box stays xywh + r.
             angle = ext[..., -1:]
-            rbox = jnp.concatenate([box[..., :2] + offset[:, None],
-                                    box[..., 2:4], angle], axis=-1)
-            iou = batch_probiou(rbox, rbox)
+            nms_box = jnp.concatenate([box[..., :2] + offset[:, None],
+                                       box[..., 2:4], angle], axis=-1)
             out_box = jnp.concatenate([box, angle], axis=-1)
         else:
             xyxy = xywh2xyxy(box)
-            iou = box_iou(xyxy + offset[:, None] * jnp.ones((1, 4), box.dtype),
-                          xyxy + offset[:, None] * jnp.ones((1, 4), box.dtype))
+            nms_box = xyxy + offset[:, None] * jnp.ones((1, 4), box.dtype)
             out_box = xyxy
 
-        # padding rows must never suppress: zero their IoU rows/cols
-        vmat = valid[:, None] & valid[None, :]
-        iou = jnp.where(vmat, iou, 0.0)
-        if mode == "fast" or rotated:
-            keep = _fast_suppress(iou, iou_thres) & valid
+        if use_matrix:
+            if rotated:
+                iou = batch_probiou(nms_box, nms_box)
+            else:
+                iou = box_iou(nms_box, nms_box)
+            # padding rows must never suppress: zero their IoU rows/cols
+            vmat = valid[:, None] & valid[None, :]
+            iou = jnp.where(vmat, iou, 0.0)
+            if mode == "fast" or rotated:
+                keep = _fast_suppress(iou, iou_thres) & valid
+            else:
+                keep = _greedy_suppress(iou, iou_thres) & valid
+            # compact kept rows to the front, cap at max_det
+            keep_scores = jnp.where(keep, conf_k, -1.0)
+            k_out = min(max_det, keep_scores.shape[-1])
+            sel_scores, sel = jax.lax.top_k(keep_scores, k_out)
+            if k_out < max_det:  # fewer anchors than max_det: pad the output
+                pad = max_det - k_out
+                sel_scores = jnp.pad(sel_scores, (0, pad),
+                                     constant_values=-1.0)
+                sel = jnp.pad(sel, (0, pad))
         else:
-            keep = _greedy_suppress(iou, iou_thres) & valid
+            sel, sel_scores = _greedy_argmax_select(
+                nms_box, conf_k, iou_thres, max_det, rotated)
+            sel_scores = jnp.where(sel_scores > 0.0, sel_scores, -1.0)
 
-        # compact kept rows to the front, cap at max_det
-        keep_scores = jnp.where(keep, conf_k, -1.0)
-        k_out = min(max_det, keep_scores.shape[-1])
-        sel_scores, sel = jax.lax.top_k(keep_scores, k_out)
-        if k_out < max_det:  # fewer anchors than max_det: pad the output
-            pad = max_det - k_out
-            sel_scores = jnp.pad(sel_scores, (0, pad), constant_values=-1.0)
-            sel = jnp.pad(sel, (0, pad))
         ok = sel_scores > 0.0
         z = jnp.where(ok, 1.0, 0.0)
         return (jnp.take_along_axis(out_box, sel[:, None], 0) * z[:, None],

@@ -542,6 +542,31 @@ class Segmenter(Detector):
               f"Mask: {msk[0]:.3f}/{msk[1]:.3f}/{msk[2]:.3f}/{msk[3]:.3f}")
         return list(box) + list(msk)
 
+    def _predict_fn(self, shape):
+        """Per-shape jitted predict (NMS at the *caller's* conf/iou, matching
+        Segmenter.cs:45); conf/iou are traced so threshold changes never
+        recompile."""
+        if shape not in self._predict_cache:
+            nc = self.config.number_class
+
+            @jax.jit
+            def fn(variables, x, conf, iou):
+                preds = self.net.apply(variables, x, False)
+                branch = (preds["one2one"] if self.arch.end2end
+                          else preds["one2many"])
+                dec = decode_inference(branch, nc=nc,
+                                       end2end=self.arch.end2end)
+                proto = branch["proto"]
+                if self.arch.end2end:
+                    rows = e2e_postprocess(dec.swapaxes(-1, -2), nc=nc,
+                                           extra=32)
+                    return {"rows": rows, "proto": proto}
+                return {"nms": non_max_suppression(dec, conf, iou, nc=nc),
+                        "proto": proto}
+
+            self._predict_cache[shape] = fn
+        return self._predict_cache[shape]
+
     def image_predict(self, image, predict_threshold=None,
                       iou_threshold=None) -> List[YoloResult]:
         conf = (self.config.predict_threshold if predict_threshold is None
@@ -552,14 +577,9 @@ class Segmenter(Detector):
         oh, ow = image.shape[:2]
         img = np.asarray(image, np.float32)[None]
         img = np.asarray(pad_to_multiple(jnp.asarray(img), 32, 114.0)) / 255.0
-        nc = self.config.number_class
 
-        @jax.jit
-        def fn(variables, x):
-            preds = self.net.apply(variables, x, False)
-            return self._decode_for_val(preds)
-
-        decoded = jax.device_get(fn(variables, jnp.asarray(img)))
+        fn = self._predict_fn(img.shape)
+        decoded = jax.device_get(fn(variables, jnp.asarray(img), conf, iou))
         h, w = img.shape[1:3]
         results: List[YoloResult] = []
         proto = decoded["proto"][0]
@@ -570,7 +590,7 @@ class Segmenter(Detector):
             classes, coeffs = rows[keep, 5].astype(int), rows[keep, 6:]
         else:
             nms = decoded["nms"]
-            valid = np.asarray(nms.valid[0]) & (np.asarray(nms.scores[0]) > conf)
+            valid = np.asarray(nms.valid[0])
             boxes = np.asarray(nms.boxes[0])[valid]
             scores = np.asarray(nms.scores[0])[valid]
             classes = np.asarray(nms.classes[0])[valid]
@@ -595,13 +615,6 @@ class Obber(Detector):
 
     def _loss_fns(self):
         nc = self.config.number_class
-
-        def reorder(fn):
-            # reference OBB items order is [box, cls, dfl, angle]
-            def wrapped(preds, batch, **kw):
-                return fn(preds, batch, **kw)
-            return wrapped
-
         if self.arch.end2end:
             fn = e2e_wrap(partial(obb_loss, nc=nc, tal_topk=10),
                           partial(obb_loss, nc=nc, tal_topk=7, tal_topk2=1))
@@ -652,6 +665,26 @@ class Obber(Detector):
             acc["pred_cls"].append(classes.astype(float))
             acc["target_cls"].append(gcls)
 
+    def _predict_fn(self, shape):
+        if shape not in self._predict_cache:
+            nc = self.config.number_class
+
+            @jax.jit
+            def fn(variables, x, conf, iou):
+                preds = self.net.apply(variables, x, False)
+                branch = (preds["one2one"] if self.arch.end2end
+                          else preds["one2many"])
+                dec = decode_inference(branch, nc=nc,
+                                       end2end=self.arch.end2end)
+                if self.arch.end2end:
+                    return e2e_postprocess(dec.swapaxes(-1, -2), nc=nc,
+                                           extra=1)
+                return non_max_suppression(dec, conf, iou, nc=nc,
+                                           rotated=True)
+
+            self._predict_cache[shape] = fn
+        return self._predict_cache[shape]
+
     def image_predict(self, image, predict_threshold=None,
                       iou_threshold=None) -> List[YoloResult]:
         conf = (self.config.predict_threshold if predict_threshold is None
@@ -661,19 +694,9 @@ class Obber(Detector):
         variables = self._ensure_variables()
         img = np.asarray(image, np.float32)[None]
         img = np.asarray(pad_to_multiple(jnp.asarray(img), 32, 114.0)) / 255.0
-        nc = self.config.number_class
 
-        @jax.jit
-        def fn(variables, x):
-            preds = self.net.apply(variables, x, False)
-            branch = (preds["one2one"] if self.arch.end2end
-                      else preds["one2many"])
-            dec = decode_inference(branch, nc=nc, end2end=self.arch.end2end)
-            if self.arch.end2end:
-                return e2e_postprocess(dec.swapaxes(-1, -2), nc=nc, extra=1)
-            return non_max_suppression(dec, conf, iou, nc=nc, rotated=True)
-
-        out = jax.device_get(fn(variables, jnp.asarray(img)))
+        fn = self._predict_fn(img.shape)
+        out = jax.device_get(fn(variables, jnp.asarray(img), conf, iou))
         results = []
         if self.arch.end2end:
             rows = out[0]
@@ -811,12 +834,8 @@ class PoseDetector(Detector):
         img = np.asarray(pad_to_multiple(jnp.asarray(img), 32, 114.0)) / 255.0
         K, kd = cfg.keypoint_num, cfg.keypoint_dim
 
-        @jax.jit
-        def fn(variables, x):
-            preds = self.net.apply(variables, x, False)
-            return self._decode_for_val(preds)
-
-        out = jax.device_get(fn(variables, jnp.asarray(img)))
+        fn = self._predict_fn(img.shape)
+        out = jax.device_get(fn(variables, jnp.asarray(img), conf, iou))
         results = []
         if self.arch.end2end:
             rows = out[0]
@@ -824,8 +843,7 @@ class PoseDetector(Detector):
             boxes, scores = rows[keep, :4], rows[keep, 4]
             classes, kpts = rows[keep, 5].astype(int), rows[keep, 6:]
         else:
-            valid = (np.asarray(out.valid[0])
-                     & (np.asarray(out.scores[0]) > conf))
+            valid = np.asarray(out.valid[0])
             boxes = np.asarray(out.boxes[0])[valid]
             scores = np.asarray(out.scores[0])[valid]
             classes = np.asarray(out.classes[0])[valid]
