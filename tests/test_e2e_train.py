@@ -35,11 +35,12 @@ def _tiny_cfg(**kw):
     return Config(**base)
 
 
-def _run_steps(task_obj, cfg, n_steps=2, n_images=4):
+def _run_steps(task_obj, cfg, n_steps=2, n_images=4, mesh=None):
     """A few optimizer steps without the full train() loop."""
     import jax
 
     from yolosharp_tpu.data import DataLoader, YoloDataset
+    from yolosharp_tpu.parallel import replicate_tree, shard_batch
     from yolosharp_tpu.train import TrainState, make_optimizer, \
         make_train_step
 
@@ -50,11 +51,18 @@ def _run_steps(task_obj, cfg, n_steps=2, n_images=4):
     tx = make_optimizer(nc=cfg.number_class, epochs=cfg.epochs,
                         steps_per_epoch=len(dl))
     state = TrainState.create(task_obj._ensure_variables(), tx)
-    step = make_train_step(task_obj.net, loss_fn, donate=False)
+    if mesh is not None:
+        state = state.replace(
+            params=replicate_tree(state.params, mesh),
+            batch_stats=replicate_tree(state.batch_stats, mesh),
+            opt_state=replicate_tree(state.opt_state, mesh))
+    step = make_train_step(task_obj.net, loss_fn, mesh=mesh, donate=False)
     losses = []
     it = iter(dl)
     for _ in range(n_steps):
         batch = next(it)
+        if mesh is not None:
+            batch = shard_batch(batch, mesh)
         state, loss, items = step(state, batch, task_obj._loss_kwargs(1))
         losses.append(float(loss))
     assert all(np.isfinite(l) for l in losses), losses
@@ -215,3 +223,66 @@ def test_multichip_sharded_train_step():
     jb = shard_batch(batch, mesh)
     state, loss, items = step(state, jb, {})
     assert np.isfinite(float(loss))
+
+
+@needs_assets
+@pytest.mark.parametrize("which", ["segment", "obb", "pose", "detect_e2e",
+                                   "segment_e2e"])
+def test_multichip_sharded_task_steps(which):
+    """DP train steps over the virtual CPU mesh for every loss family
+    (round-1 covered detect only)."""
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    from yolosharp_tpu.parallel import create_mesh
+    from yolosharp_tpu.tasks import Detector, Obber, PoseDetector, Segmenter
+
+    n = len(jax.devices())
+    mk = {
+        "segment": lambda: (Segmenter, _tiny_cfg(
+            root_path=os.path.join(ASSETS, "coco128-seg"),
+            task_type=TaskType.segment, batch_size=n)),
+        "segment_e2e": lambda: (Segmenter, _tiny_cfg(
+            root_path=os.path.join(ASSETS, "coco128-seg"),
+            task_type=TaskType.segment, batch_size=n, end2end=True)),
+        "obb": lambda: (Obber, _tiny_cfg(
+            root_path=os.path.join(ASSETS, "DOTAv1"), number_class=15,
+            task_type=TaskType.obb, batch_size=n)),
+        "pose": lambda: (PoseDetector, _tiny_cfg(
+            root_path=os.path.join(ASSETS, "coco8-pose"),
+            train_data_path="images/train2017",
+            val_data_path="images/train2017", number_class=1,
+            task_type=TaskType.pose, batch_size=n)),
+        "detect_e2e": lambda: (Detector, _tiny_cfg(batch_size=n,
+                                                   end2end=True)),
+    }[which]
+    cls, cfg = mk()
+    task_obj = cls(cfg)
+    mesh = create_mesh()
+    losses = _run_steps(task_obj, cfg, n_steps=2, n_images=n, mesh=mesh)
+    assert losses[0] > 0
+
+
+@needs_assets
+def test_multichip_sharded_val():
+    """The val/eval step runs sharded over the mesh (round 1 never sharded
+    eval), exercising _make_mesh + sharded _get_eval_step end to end."""
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    from yolosharp_tpu.data import DataLoader, YoloDataset
+    from yolosharp_tpu.tasks import Detector
+
+    n = len(jax.devices())
+    cfg = _tiny_cfg(batch_size=n)
+    det = Detector(cfg)
+    det._ensure_variables()
+    ds = YoloDataset(cfg, is_val=True)
+    ds.records = ds.records[:n]
+    dl = DataLoader(ds, cfg.batch_size, shuffle=False, workers=2)
+    assert det._make_mesh(cfg.batch_size) is not None
+    val_items, metrics = det.val(dl, epoch=1)
+    assert np.all(np.isfinite(val_items))
+    assert len(metrics) == 4

@@ -153,3 +153,50 @@ def test_nms_rotated_keep_mask():
     scores = jnp.asarray([0.9, 0.8, 0.7])
     keep = np.asarray(nms_rotated(boxes, scores, 0.45))
     np.testing.assert_array_equal(keep, [True, False, True])
+
+
+def test_nms_tiled_greedy_matches_matrix():
+    # force the tile-sequential large-K path (matrix_k below K) and check
+    # it agrees with the numpy greedy oracle bit-for-bit on selections
+    n, nc = 1500, 5
+    r = np.random.default_rng(42)
+    boxes_xywh = np.concatenate([r.uniform(40, 600, (n, 2)),
+                                 r.uniform(10, 80, (n, 2))], -1).astype(np.float32)
+    scores = r.uniform(0, 1, size=(n, nc)).astype(np.float32)
+    pred = np.concatenate([boxes_xywh, scores], -1).T[None]
+
+    out = non_max_suppression(jnp.asarray(pred), conf_thres=0.25,
+                              iou_thres=0.45, max_det=100, nc=nc,
+                              matrix_k=256)  # K=1500 > 256 -> tiled path
+    got_n = int(out.valid.sum())
+    got_scores = np.asarray(out.scores[0][:got_n])
+    got_boxes = np.asarray(out.boxes[0][:got_n])
+
+    conf = scores.max(-1)
+    cls = scores.argmax(-1)
+    m = conf > 0.25
+    xyxy = np.asarray(xywh2xyxy(jnp.asarray(boxes_xywh)))[m]
+    conf_f, cls_f = conf[m], cls[m]
+    keep = _np_greedy_nms(xyxy + cls_f[:, None] * 7680.0, conf_f, 0.45)
+    keep = sorted(keep, key=lambda i: -conf_f[i])[:100]
+
+    assert got_n == len(keep)
+    np.testing.assert_allclose(got_scores, conf_f[keep], rtol=1e-5)
+    np.testing.assert_allclose(got_boxes, xyxy[keep], rtol=1e-4, atol=1e-3)
+    assert not bool(out.truncated[0])
+
+
+def test_nms_truncated_flag():
+    # many above-threshold candidates + tiny pre_topk -> truncated=True
+    n, nc = 64, 3
+    r = np.random.default_rng(1)
+    boxes_xywh = np.concatenate([r.uniform(40, 600, (n, 2)),
+                                 r.uniform(10, 80, (n, 2))], -1).astype(np.float32)
+    scores = r.uniform(0.5, 1, size=(n, nc)).astype(np.float32)
+    pred = np.concatenate([boxes_xywh, scores], -1).T[None]
+    out = non_max_suppression(jnp.asarray(pred), conf_thres=0.25,
+                              iou_thres=0.45, max_det=10, nc=nc, pre_topk=8)
+    assert bool(out.truncated[0])
+    out2 = non_max_suppression(jnp.asarray(pred), conf_thres=0.25,
+                               iou_thres=0.45, max_det=10, nc=nc)
+    assert not bool(out2.truncated[0])

@@ -28,6 +28,10 @@ class Config:
     epochs: int = 100
     predict_threshold: float = 0.3
     iou_threshold: float = 0.7
+    # parity field: the reference declares LearningRate (Config.cs:65) but
+    # its only consumer is a commented-out SGD (YoloBaseTaskModel.cs:140);
+    # the active AdamW lr is always lr_fit = 0.002*5/(4+nc). Kept so configs
+    # port 1:1.
     learning_rate: float = 1e-4
     use_cos_lr: bool = False
     lrf: float = 0.01
@@ -50,6 +54,8 @@ class Config:
     hsv_h: float = 0.015
     mask_ratio: int = 4
     mosaic: float = 1.0
+    # parity field: the reference validates MosaicCount in {4, 9} but its
+    # Mosaic always runs _mosaic4 (Augment.cs:148-150); only 4 is real.
     mosaic_count: int = 4
     degrees: float = 0.0
     translate: float = 0.1
@@ -72,6 +78,14 @@ class Config:
     end2end: bool = True
 
     # ---- TPU-native additions (no reference counterpart) ----
+    # Static candidate cap fed to predict-time NMS. The reference keeps up
+    # to max_nms=30000 dynamic candidates (Utils/Ops.cs:242); on TPU the
+    # pool must be a static shape. 2048 is exact whenever fewer than 2048
+    # anchors clear predict_threshold (always true for trained models at
+    # conf >= 0.25); NMSOutput.truncated flags the exceptions and the task
+    # layer warns. None = all anchors (exact reference semantics, slower).
+    # Validation always runs un-capped.
+    nms_pre_topk: Optional[int] = 2048
     max_labels: Optional[int] = None   # per-image gt padding (None = auto)
     mesh_shape: Optional[Tuple[int, ...]] = None  # data-parallel mesh (auto)
     cache_images: bool = True          # eager RAM cache like the reference

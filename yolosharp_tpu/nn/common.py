@@ -109,7 +109,7 @@ class ConvBN(nn.Module):
         y = Conv2d(self.c2, self.k, self.s, self.p, self.g, self.d,
                    use_bias=self.use_bias, name="conv")(x)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.97,
-                         epsilon=1e-3, dtype=jnp.float32, name="bn")(y)
+                         epsilon=1e-3, dtype=y.dtype, name="bn")(y)
         return ACTS[self.act](y)
 
 
@@ -136,7 +136,7 @@ class Conv2(nn.Module):
         y = y + Conv2d(self.c2, 1, self.s, 0, self.g, self.d,
                        use_bias=False, name="cv2")(x)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.97,
-                         epsilon=1e-3, dtype=jnp.float32, name="bn")(y)
+                         epsilon=1e-3, dtype=y.dtype, name="bn")(y)
         return ACTS[self.act](y)
 
 
@@ -149,7 +149,7 @@ class DWConv(ConvBN):
         y = Conv2d(self.c2, self.k, self.s, self.p, g, self.d,
                    use_bias=self.use_bias, name="conv")(x)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.97,
-                         epsilon=1e-3, dtype=jnp.float32, name="bn")(y)
+                         epsilon=1e-3, dtype=y.dtype, name="bn")(y)
         return ACTS[self.act](y)
 
 
@@ -251,7 +251,7 @@ class ConvTranspose(nn.Module):
                                use_bias=not self.bn, name="conv_transpose")(x)
         if self.bn:
             y = nn.BatchNorm(use_running_average=not train, momentum=0.97,
-                             epsilon=1e-3, dtype=jnp.float32, name="bn")(y)
+                             epsilon=1e-3, dtype=y.dtype, name="bn")(y)
         return ACTS[self.act](y)
 
 
@@ -308,7 +308,7 @@ class RepConv(nn.Module):
                        name="conv2")(x, train)
         if self.use_bn and x.shape[-1] == self.c2 and self.s == 1:
             y = y + nn.BatchNorm(use_running_average=not train, momentum=0.97,
-                                 epsilon=1e-3, dtype=jnp.float32, name="bn")(x)
+                                 epsilon=1e-3, dtype=x.dtype, name="bn")(x)
         return ACTS[self.act](y)
 
 

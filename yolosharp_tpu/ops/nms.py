@@ -43,6 +43,9 @@ class NMSOutput(NamedTuple):
     classes: jnp.ndarray  # (B, max_det) int32
     extras: jnp.ndarray   # (B, max_det, E) mask coeffs / angle / kpts
     valid: jnp.ndarray    # (B, max_det) bool
+    truncated: jnp.ndarray  # (B,) bool — above-conf candidates exceeded
+    #                         pre_topk (results may differ from exact NMS;
+    #                         callers should warn, never silently accept)
 
 
 def _greedy_suppress(iou: jnp.ndarray, thresh: float) -> jnp.ndarray:
@@ -81,31 +84,63 @@ def _fast_suppress(iou: jnp.ndarray, thresh: float) -> jnp.ndarray:
     return ~jnp.any((iou > thresh) & upper, axis=0)
 
 
-def _greedy_argmax_select(boxes, conf, iou_thres, max_det, rotated):
-    """Exact greedy NMS as a max_det-step argmax-and-suppress scan.
+def _greedy_tiled(boxes, valid, iou_thres, tile, rotated):
+    """Exact greedy NMS keep mask via a tile-sequential sweep.
 
-    O(K) memory (no pairwise matrix), used for large candidate pools.
-    boxes: (K, 4) xyxy with class offsets applied (or (K, 5) xywhr);
-    conf: (K,) scores, exactly 0 for below-threshold/padding rows.
-    Returns (idx (max_det,), score (max_det,)) in descending-score pick
-    order; score == 0 marks an unused slot.
+    For large candidate pools the full (K, K) matrix is memory- and
+    bandwidth-hostile; a per-pick argmax scan is latency-hostile (max_det
+    sequential steps of tiny work). This sweep is the TPU middle ground:
+    K/tile sequential steps, each a chunky (tile, K) IoU block — exact
+    greedy semantics for *score-sorted* input.
+
+    Per tile: (1) a box is pre-suppressed if any kept box from an earlier
+    tile overlaps it; (2) the intra-tile triangular recursion is solved by
+    the same antitone fixed-point iteration as _greedy_suppress, seeded
+    with the pre-suppression mask.
     """
-    k = conf.shape[0]
+    k = boxes.shape[0]
+    n_tiles = -(-k // tile)
+    pad = n_tiles * tile - k
+    if pad:
+        boxes = jnp.pad(boxes, ((0, pad), (0, 0)))
+        valid = jnp.pad(valid, (0, pad))
+    kp = boxes.shape[0]
+    idx = jnp.arange(kp)
+    tri = jnp.triu(jnp.ones((tile, tile), bool), k=1)
 
-    def step(scores_cur, _):
-        i = jnp.argmax(scores_cur)
-        s = scores_cur[i]
-        box = jax.lax.dynamic_slice_in_dim(boxes, i, 1, axis=0)
+    def outer(keep, c):
+        start = c * tile
+        tb = jax.lax.dynamic_slice_in_dim(boxes, start, tile, 0)
         if rotated:
-            row = batch_probiou(box, boxes)[0]
+            iou_all = batch_probiou(tb, boxes)          # (tile, kp)
         else:
-            row = box_iou(box, boxes)[0]
-        kill = (row > iou_thres) | (jnp.arange(k) == i)
-        scores_new = jnp.where(kill & (s > 0), 0.0, scores_cur)
-        return scores_new, (i.astype(jnp.int32), s)
+            iou_all = box_iou(tb, boxes)
+        over_all = iou_all > iou_thres
+        prev_kept = keep & (idx < start)
+        sup = jnp.any(over_all & prev_kept[None, :], axis=1)
+        tvalid = jax.lax.dynamic_slice_in_dim(valid, start, tile, 0)
+        alive0 = ~sup & tvalid
+        over_t = (jax.lax.dynamic_slice(
+            over_all, (0, start), (tile, tile)) & tri
+            & tvalid[:, None] & tvalid[None, :])
 
-    _, (idx, score) = jax.lax.scan(step, conf, None, length=max_det)
-    return idx, score
+        def cond(state):
+            kt, prev, it = state
+            return jnp.any(kt != prev) & (it < tile)
+
+        def body(state):
+            kt, _, it = state
+            new = alive0 & ~jnp.any(over_t & kt[:, None], axis=0)
+            return new, kt, it + 1
+
+        kt, _, _ = jax.lax.while_loop(
+            cond, body, (alive0, jnp.zeros((tile,), bool), jnp.int32(0)))
+        keep = jax.lax.dynamic_update_slice(keep, kt, (start,))
+        return keep, None
+
+    keep, _ = jax.lax.scan(outer, jnp.zeros((kp,), bool),
+                           jnp.arange(n_tiles))
+    return keep[:k]
 
 
 @partial(jax.jit, static_argnames=(
@@ -154,6 +189,10 @@ def non_max_suppression(
 
     k = conf.shape[-1] if pre_topk is None else min(pre_topk, conf.shape[-1])
     top_conf, top_idx = jax.lax.top_k(conf, k)  # (B, K)
+    truncated = ((conf > 0.0).sum(-1) > k) if k < conf.shape[-1] \
+        else jnp.zeros((bs,), bool)
+    # rotated NMS is the reference's triangular fast-NMS (Ops.cs:373-401),
+    # which only exists as a matrix pass
     use_matrix = (mode == "fast") or rotated or k <= matrix_k
 
     def per_image(conf_k, idx, boxes_a, cls_a, extras_a):
@@ -186,19 +225,18 @@ def non_max_suppression(
                 keep = _fast_suppress(iou, iou_thres) & valid
             else:
                 keep = _greedy_suppress(iou, iou_thres) & valid
-            # compact kept rows to the front, cap at max_det
-            keep_scores = jnp.where(keep, conf_k, -1.0)
-            k_out = min(max_det, keep_scores.shape[-1])
-            sel_scores, sel = jax.lax.top_k(keep_scores, k_out)
-            if k_out < max_det:  # fewer anchors than max_det: pad the output
-                pad = max_det - k_out
-                sel_scores = jnp.pad(sel_scores, (0, pad),
-                                     constant_values=-1.0)
-                sel = jnp.pad(sel, (0, pad))
         else:
-            sel, sel_scores = _greedy_argmax_select(
-                nms_box, conf_k, iou_thres, max_det, rotated)
-            sel_scores = jnp.where(sel_scores > 0.0, sel_scores, -1.0)
+            keep = _greedy_tiled(nms_box, valid, iou_thres,
+                                 tile=min(512, matrix_k), rotated=rotated)
+        # compact kept rows to the front, cap at max_det
+        keep_scores = jnp.where(keep, conf_k, -1.0)
+        k_out = min(max_det, keep_scores.shape[-1])
+        sel_scores, sel = jax.lax.top_k(keep_scores, k_out)
+        if k_out < max_det:  # fewer anchors than max_det: pad the output
+            pad = max_det - k_out
+            sel_scores = jnp.pad(sel_scores, (0, pad),
+                                 constant_values=-1.0)
+            sel = jnp.pad(sel, (0, pad))
 
         ok = sel_scores > 0.0
         z = jnp.where(ok, 1.0, 0.0)
@@ -209,7 +247,7 @@ def non_max_suppression(
                 ok)
 
     out = jax.vmap(per_image)(top_conf, top_idx, boxes_xywh, cls_id, extras)
-    return NMSOutput(*out)
+    return NMSOutput(*out, truncated)
 
 
 def nms_rotated(boxes: jnp.ndarray, scores: jnp.ndarray,

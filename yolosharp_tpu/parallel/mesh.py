@@ -51,14 +51,3 @@ def shard_batch(batch: dict, mesh: Mesh) -> dict:
 def replicate_tree(tree, mesh: Mesh):
     rep = replicated(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), tree)
-
-
-def pad_batch_to_devices(batch: dict, n_devices: int) -> dict:
-    """Right-pad the batch so axis 0 divides the mesh (wrap duplicate rows
-    carry zero gt masks so they do not perturb the loss denominator... they
-    do contribute; callers should prefer batch sizes divisible by the mesh)."""
-    b = next(iter(batch.values())).shape[0]
-    pad = (-b) % n_devices
-    if pad == 0:
-        return batch
-    return {k: np.concatenate([v, v[:pad]], 0) for k, v in batch.items()}

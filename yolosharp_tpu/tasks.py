@@ -127,6 +127,34 @@ class BaseTask:
             return {"o2m_gain": o2m, "o2o_gain": o2o}
         return {}
 
+    # ---------------------------------------------------------------- mesh
+    def _make_mesh(self, batch_size: int):
+        """Data-parallel mesh over the largest device count that divides the
+        batch (never a silent single-device fallback: using fewer chips than
+        available is reported, and a non-divisible batch uses the largest
+        divisor instead of dropping to one device)."""
+        if getattr(self, "_mesh_resolved", False):
+            return self._mesh
+        self._mesh_resolved = True
+        devices = jax.devices()
+        n_dev = len(devices)
+        d = max((k for k in range(1, n_dev + 1) if batch_size % k == 0),
+                default=1)
+        if d <= 1:
+            self._mesh = None
+            if n_dev > 1:
+                print(f"WARNING: batch_size={batch_size} shares no divisor "
+                      f"with the {n_dev} visible devices; training runs "
+                      f"single-device. Pick a batch size divisible by "
+                      f"{n_dev} to use all chips.")
+            return None
+        if d < n_dev:
+            print(f"WARNING: batch_size={batch_size} is not divisible by "
+                  f"{n_dev} devices; using a {d}-device data mesh. Pick a "
+                  f"batch size divisible by {n_dev} to use all chips.")
+        self._mesh = create_mesh(devices=devices[:d])
+        return self._mesh
+
     # --------------------------------------------------------------- train
     def _make_datasets(self):
         tr = YoloDataset(self.config, is_val=False)
@@ -168,9 +196,7 @@ class BaseTask:
             print(f"Resumed full train state from {resume_from} "
                   f"(continuing at epoch {start_epoch}).")
 
-        n_dev = len(jax.devices())
-        mesh = create_mesh() if n_dev > 1 and cfg.batch_size % n_dev == 0 \
-            else None
+        mesh = self._make_mesh(cfg.batch_size)
         train_loss_fn, _ = self._loss_fns()
         step_fn = make_train_step(self.net, train_loss_fn,
                                   compute_dtype=cfg.compute_dtype, mesh=mesh)
@@ -247,7 +273,6 @@ class BaseTask:
             cfg = self.config
             _, eval_loss_fn = self._loss_fns()
 
-            @jax.jit
             def eval_step(variables, batch, loss_kwargs):
                 from .train import normalize_images
 
@@ -257,7 +282,19 @@ class BaseTask:
                 decoded = self._decode_for_val(preds)
                 return items, decoded
 
-            self._eval_step = eval_step
+            mesh = self._make_mesh(cfg.batch_size)
+            if mesh is not None:
+                # validation is sharded like training: batch split on the
+                # data axis, params replicated, loss items psum'd by XLA
+                from .parallel.mesh import batch_sharding, replicated
+
+                self._eval_step = jax.jit(
+                    eval_step,
+                    in_shardings=(replicated(mesh), batch_sharding(mesh),
+                                  None),
+                    out_shardings=(replicated(mesh), batch_sharding(mesh)))
+            else:
+                self._eval_step = jax.jit(eval_step)
         return self._eval_step
 
     def val(self, val_dl: DataLoader, epoch: int = 0):
@@ -270,8 +307,10 @@ class BaseTask:
         count = 0
         from .data.loader import device_prefetch
 
-        for batch, jb in device_prefetch(
-                val_dl, lambda b: (b, jax.device_put(b)), depth=2):
+        mesh = self._make_mesh(self.config.batch_size)
+        put = ((lambda b: (b, shard_batch(b, mesh))) if mesh is not None
+               else (lambda b: (b, jax.device_put(b))))
+        for batch, jb in device_prefetch(val_dl, put, depth=2):
             items, decoded = eval_step(variables, jb, loss_kwargs)
             items_sum = items if items_sum is None else items_sum + items
             self._accumulate_val(acc, batch, jax.device_get(decoded))
@@ -310,6 +349,16 @@ class BaseTask:
                       iou_threshold: Optional[float] = None
                       ) -> List[YoloResult]:
         raise NotImplementedError
+
+
+def _warn_if_truncated(nms_out):
+    """Surface NMS candidate-pool truncation (never silent; see
+    Config.nms_pre_topk)."""
+    trunc = np.asarray(getattr(nms_out, "truncated", False))
+    if trunc.any():
+        print("WARNING: above-threshold NMS candidates exceeded "
+              "Config.nms_pre_topk; low-score boxes may be missing. "
+              "Raise nms_pre_topk or set it to None for exact NMS.")
 
 
 def _nms_decoded(decoded, batch, *, nc, conf, iou, rotated=False,
@@ -390,7 +439,9 @@ class Detector(BaseTask):
                 dec = self._decode_branch(preds)
                 if self.arch.end2end:
                     return dec
-                return non_max_suppression(dec, conf, iou, nc=nc)
+                return non_max_suppression(
+                    dec, conf, iou, nc=nc,
+                    pre_topk=self.config.nms_pre_topk)
 
             self._predict_cache[shape] = fn
         return self._predict_cache[shape]
@@ -407,6 +458,8 @@ class Detector(BaseTask):
         fn = self._predict_fn(img.shape)
         out = jax.device_get(fn(variables, jnp.asarray(img),
                                 conf if not self.arch.end2end else 0.0, iou))
+        if not self.arch.end2end:
+            _warn_if_truncated(out)
         results = []
         if self.arch.end2end:
             rows = out[0]
@@ -561,8 +614,9 @@ class Segmenter(Detector):
                     rows = e2e_postprocess(dec.swapaxes(-1, -2), nc=nc,
                                            extra=32)
                     return {"rows": rows, "proto": proto}
-                return {"nms": non_max_suppression(dec, conf, iou, nc=nc),
-                        "proto": proto}
+                return {"nms": non_max_suppression(
+                    dec, conf, iou, nc=nc,
+                    pre_topk=self.config.nms_pre_topk), "proto": proto}
 
             self._predict_cache[shape] = fn
         return self._predict_cache[shape]
@@ -580,6 +634,8 @@ class Segmenter(Detector):
 
         fn = self._predict_fn(img.shape)
         decoded = jax.device_get(fn(variables, jnp.asarray(img), conf, iou))
+        if not self.arch.end2end:
+            _warn_if_truncated(decoded["nms"])
         h, w = img.shape[1:3]
         results: List[YoloResult] = []
         proto = decoded["proto"][0]
@@ -679,8 +735,9 @@ class Obber(Detector):
                 if self.arch.end2end:
                     return e2e_postprocess(dec.swapaxes(-1, -2), nc=nc,
                                            extra=1)
-                return non_max_suppression(dec, conf, iou, nc=nc,
-                                           rotated=True)
+                return non_max_suppression(
+                    dec, conf, iou, nc=nc, rotated=True,
+                    pre_topk=self.config.nms_pre_topk)
 
             self._predict_cache[shape] = fn
         return self._predict_cache[shape]
@@ -697,6 +754,8 @@ class Obber(Detector):
 
         fn = self._predict_fn(img.shape)
         out = jax.device_get(fn(variables, jnp.asarray(img), conf, iou))
+        if not self.arch.end2end:
+            _warn_if_truncated(out)
         results = []
         if self.arch.end2end:
             rows = out[0]
@@ -741,19 +800,26 @@ class PoseDetector(Detector):
                 return base(preds["one2many"], batch)
         return fn, fn
 
-    def _decode_for_val(self, preds):
+    def _decode_branch(self, preds):
+        # overrides Detector's: keypoint extras must ride through the E2E
+        # top-k select, and the decode honours configured kpt shapes
         cfg = self.config
         branch = preds["one2one"] if self.arch.end2end else preds["one2many"]
         dec = decode_inference(branch, nc=cfg.number_class,
                                end2end=self.arch.end2end,
                                kpt_num=cfg.keypoint_num,
                                kpt_dim=cfg.keypoint_dim)
-        nk = cfg.keypoint_num * cfg.keypoint_dim
         if self.arch.end2end:
-            return e2e_postprocess(dec.swapaxes(-1, -2), nc=cfg.number_class,
-                                   extra=nk)
+            dec = e2e_postprocess(dec.swapaxes(-1, -2), nc=cfg.number_class,
+                                  extra=cfg.keypoint_num * cfg.keypoint_dim)
+        return dec
+
+    def _decode_for_val(self, preds):
+        dec = self._decode_branch(preds)
+        if self.arch.end2end:
+            return dec
         return non_max_suppression(dec, self.val_conf, 0.7,
-                                   nc=cfg.number_class)
+                                   nc=self.config.number_class)
 
     def _new_val_accumulator(self):
         acc = super()._new_val_accumulator()
@@ -836,6 +902,8 @@ class PoseDetector(Detector):
 
         fn = self._predict_fn(img.shape)
         out = jax.device_get(fn(variables, jnp.asarray(img), conf, iou))
+        if not self.arch.end2end:
+            _warn_if_truncated(out)
         results = []
         if self.arch.end2end:
             rows = out[0]
