@@ -24,3 +24,16 @@ if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+
+def pytest_collection_modifyitems(config, items):
+    """`slow`-marked tests (multi-minute cold CPU compiles) only run with
+    RUN_SLOW=1, keeping the default suite under ~10 min cold."""
+    import pytest
+
+    if os.environ.get("RUN_SLOW") == "1":
+        return
+    skip = pytest.mark.skip(reason="slow (compile-heavy); set RUN_SLOW=1")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

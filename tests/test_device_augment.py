@@ -1,0 +1,200 @@
+"""Device-side batched augmentation vs the host cv2 reference path.
+
+Same random draws (scripted fake rng) through both pipelines:
+  host:   mosaic4 -> random_perspective -> flip -> random_hsv   (cv2)
+  device: plan_mosaic_batch (labels) + mosaic_perspective_images (pixels)
+Labels must match exactly (same numpy math); pixels match except on 1-px
+tile seams where cv2 blends across tiles and we clamp into the border.
+"""
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+from yolosharp_tpu.config import Config
+from yolosharp_tpu.data import augment as A
+from yolosharp_tpu.data import device_augment as DA
+from yolosharp_tpu.data.labels import LabelRecord
+
+
+class FakeRng:
+    """Replays a scripted draw sequence (uniforms and integers)."""
+
+    def __init__(self, uniforms, integers):
+        self.u = list(uniforms)
+        self.i = list(integers)
+
+    def uniform(self, lo=0.0, hi=1.0, size=None):
+        assert size is None
+        # samples beyond the scripted sequence (batch rows the test does
+        # not inspect) get a fixed midpoint draw
+        t = self.u.pop(0) if self.u else 0.5
+        return lo + (hi - lo) * t
+
+    def integers(self, lo, hi, size=None):
+        if size is None:
+            if not self.i:
+                return lo
+            v = self.i.pop(0)
+            assert lo <= v < hi, (lo, v, hi)
+            return v
+        out = [self.integers(lo, hi) for _ in range(size)]
+        return np.asarray(out)
+
+
+def _mk_record(rng, h, w, n_boxes, imgsz):
+    img = rng.integers(0, 255, (h, w, 3), np.uint8)
+    rec = LabelRecord(im_file="x", img=np.ascontiguousarray(img),
+                      org_shape=(h, w), resized_shape=(h, w), mask_ratio=4)
+    cx = rng.uniform(0.2, 0.8, n_boxes) * w
+    cy = rng.uniform(0.2, 0.8, n_boxes) * h
+    bw = rng.uniform(0.1, 0.3, n_boxes) * w
+    bh = rng.uniform(0.1, 0.3, n_boxes) * h
+    rec.bboxes = np.stack([cx - bw / 2, cy - bh / 2,
+                           cx + bw / 2, cy + bh / 2], -1).astype(np.float32)
+    rec.cls = rng.integers(0, 5, n_boxes).astype(np.float32)
+    return rec
+
+
+DRAWS_U = [0.3, 0.7,      # P (perspective x2)
+           0.6,           # angle
+           0.45,          # scale
+           0.5, 0.52,     # shear x2
+           0.48, 0.55,    # translate x2
+           0.2,           # flip_lr decision (<= 0.5 -> flip)
+           0.9,           # flip_ud decision (no)
+           0.4, 0.6, 0.5]  # hsv b, s, h
+
+
+def test_device_mosaic_matches_host():
+    import jax
+
+    imgsz = 64
+    rng = np.random.default_rng(0)
+    recs = [_mk_record(rng, 64, 48, 3, imgsz), _mk_record(rng, 40, 64, 2, imgsz),
+            _mk_record(rng, 64, 64, 2, imgsz), _mk_record(rng, 56, 40, 3, imgsz)]
+    cfg = Config(image_size=imgsz, degrees=10.0, translate=0.1, scale=0.5,
+                 shear=2.0, perspective=0.0005, flip_lr=0.5, flip_ud=0.0,
+                 hsv_h=0.015, hsv_s=0.7, hsv_v=0.4)
+
+    yc, xc = 70, 55
+
+    # ---------------- host path
+    host_rng = FakeRng(DRAWS_U, [yc, xc])
+    rec = A.mosaic4(recs[0], recs[1:], imgsz, host_rng)
+    rec = A.random_perspective(rec, cfg.degrees, cfg.translate, cfg.scale,
+                               cfg.shear, cfg.perspective, host_rng)
+    flip_draw = host_rng.uniform()
+    assert flip_draw <= cfg.flip_lr
+    rec = A.flip_lr(rec)
+    rec = A.random_hsv(rec, cfg.hsv_h, cfg.hsv_s, cfg.hsv_v, host_rng)
+    host_img = rec.img.astype(np.float32)
+    host_boxes = rec.bboxes
+    host_cls = rec.cls
+
+    # ---------------- device path (identical draws; picks map to recs 1..3)
+    dev_rng = FakeRng(DRAWS_U, [1, 2, 3, yc, xc])
+    plan, labels = DA.plan_mosaic_batch(recs, cfg, dev_rng)
+    # only sample 0's plan row is exercised (plan_mosaic_batch consumed the
+    # scripted draws for sample 0; stop there)
+    lab = labels[0]
+    np.testing.assert_allclose(np.sort(lab.cls), np.sort(host_cls))
+    # order can differ only if filters disagree; they share the same math
+    order_h = np.lexsort(host_boxes.T)
+    order_d = np.lexsort(lab.bboxes.T)
+    np.testing.assert_allclose(lab.bboxes[order_d], host_boxes[order_h],
+                               atol=1e-3)
+    np.testing.assert_array_equal(lab.cls[order_d], host_cls[order_h])
+
+    pool = np.full((4, imgsz, imgsz, 3), 114, np.uint8)
+    for k, r in enumerate(recs):
+        h, w = r.resized_shape
+        pool[k, :h, :w] = r.img
+    arrays = (plan.src_idx[:1], plan.rects[:1], plan.pads[:1],
+              plan.minv[:1], plan.persp[:1], plan.flips[:1], plan.hsv[:1])
+    out = np.asarray(jax.jit(
+        lambda p, a: DA.mosaic_perspective_images(p, a, imgsz)
+    )(pool, arrays))[0]
+
+    diff = np.abs(out - host_img).max(-1)
+    frac_bad = float((diff > 6.0).mean())
+    assert frac_bad < 0.05, f"{frac_bad:.3%} pixels differ"
+    assert float(np.median(diff)) <= 2.0
+
+
+def test_device_hsv_matches_cv2():
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 255, (32, 32, 3), np.uint8)
+    for gains in ((1.2, 0.8, 0.01), (0.7, 1.3, -0.01), (1.0, 1.0, 0.0)):
+        rec = LabelRecord(im_file="x", img=img.copy(), org_shape=(32, 32),
+                          resized_shape=(32, 32), mask_ratio=4)
+        host_rng = FakeRng([(gains[0] - max(0, 1 - 0.4)) / (1 + 0.4 - max(0, 1 - 0.4)),
+                            (gains[1] - max(0, 1 - 0.7)) / (1 + 0.7 - max(0, 1 - 0.7)),
+                            (gains[2] + 0.015) / 0.03], [])
+        out_h = A.random_hsv(rec, 0.015, 0.7, 0.4, host_rng).img.astype(np.float32)
+        out_d = np.asarray(jax.jit(DA.apply_hsv)(
+            jnp.asarray(img, jnp.float32), jnp.asarray(gains, jnp.float32)))
+        diff = np.abs(out_d - out_h)
+        assert float(np.median(diff)) <= 2.0
+        assert float((diff > 8).mean()) < 0.02, float((diff > 8).mean())
+
+
+ASSETS = "/root/reference/YoloSharpDemo/Assets/DataSets"
+needs_assets = pytest.mark.skipif(not __import__("os").path.isdir(ASSETS),
+                                  reason="reference datasets not mounted")
+
+
+@needs_assets
+@pytest.mark.slow
+@pytest.mark.parametrize("task", ["detect", "segment"])
+def test_device_augment_train_steps(task):
+    """Full loop: loader plans on host, the jitted train step renders the
+    mosaic batch on device and losses stay finite."""
+    import os
+
+    from test_e2e_train import _run_steps, _tiny_cfg
+    from yolosharp_tpu import TaskType
+    from yolosharp_tpu.tasks import Detector, Segmenter
+    from yolosharp_tpu.types import ImageProcessType
+
+    kw = dict(image_process_type=ImageProcessType.mosaic, device_augment=True)
+    if task == "segment":
+        cfg = _tiny_cfg(root_path=os.path.join(ASSETS, "coco128-seg"),
+                        task_type=TaskType.segment, **kw)
+        obj = Segmenter(cfg)
+    else:
+        cfg = _tiny_cfg(**kw)
+        obj = Detector(cfg)
+    losses = _run_steps(obj, cfg)
+    assert losses[0] > 0
+
+
+@needs_assets
+def test_device_batch_contract():
+    """device_batch ships a pool + plan (no images key) and the loader
+    routes through it when mosaic is active."""
+    import os
+
+    from test_e2e_train import _tiny_cfg
+    from yolosharp_tpu.data import DataLoader, YoloDataset
+    from yolosharp_tpu.types import ImageProcessType
+
+    cfg = _tiny_cfg(image_process_type=ImageProcessType.mosaic,
+                    device_augment=True)
+    ds = YoloDataset(cfg, is_val=False)
+    ds.records = ds.records[:4]
+    assert ds.use_device_augment()
+    dl = DataLoader(ds, 2, workers=2, seed=0)
+    batch = next(iter(dl))
+    assert "aug_pool" in batch and "images" not in batch
+    assert batch["aug_pool"].shape == (2, cfg.image_size, cfg.image_size, 3)
+    assert batch["aug_src_idx"].max() < 2
+    # close_mosaic flips back to the host path
+    ds.close_mosaic(True)
+    assert not ds.use_device_augment()
+    batch2 = next(iter(DataLoader(ds, 2, workers=2, seed=0)))
+    assert "images" in batch2 and "aug_pool" not in batch2

@@ -93,6 +93,7 @@ def test_detect_train_steps_and_predict(tmp_path):
 
 
 @needs_assets
+@pytest.mark.slow
 def test_detect_e2e_train_steps():
     cfg = _tiny_cfg(end2end=True)
     from yolosharp_tpu.tasks import Detector
@@ -120,6 +121,7 @@ def test_detect_val_runs():
 
 
 @needs_assets
+@pytest.mark.slow
 def test_segment_train_steps():
     cfg = _tiny_cfg(root_path=os.path.join(ASSETS, "coco128-seg"),
                     task_type=TaskType.segment)
@@ -131,6 +133,7 @@ def test_segment_train_steps():
 
 
 @needs_assets
+@pytest.mark.slow
 def test_obb_train_steps():
     cfg = _tiny_cfg(root_path=os.path.join(ASSETS, "DOTAv1"),
                     number_class=15, task_type=TaskType.obb,
@@ -143,6 +146,7 @@ def test_obb_train_steps():
 
 
 @needs_assets
+@pytest.mark.slow
 def test_pose_train_steps():
     cfg = _tiny_cfg(root_path=os.path.join(ASSETS, "coco8-pose"),
                     train_data_path="images/train2017",
@@ -156,6 +160,7 @@ def test_pose_train_steps():
 
 
 @needs_assets
+@pytest.mark.slow
 def test_classify_train_and_predict():
     import jax
 
@@ -185,6 +190,7 @@ def test_classify_train_and_predict():
     assert len(results) == 5
 
 
+@pytest.mark.slow
 def test_multichip_sharded_train_step():
     """DP train step over the 8-device virtual CPU mesh."""
     import jax
@@ -226,6 +232,7 @@ def test_multichip_sharded_train_step():
 
 
 @needs_assets
+@pytest.mark.slow
 @pytest.mark.parametrize("which", ["segment", "obb", "pose", "detect_e2e",
                                    "segment_e2e"])
 def test_multichip_sharded_task_steps(which):
@@ -260,7 +267,7 @@ def test_multichip_sharded_task_steps(which):
     cls, cfg = mk()
     task_obj = cls(cfg)
     mesh = create_mesh()
-    losses = _run_steps(task_obj, cfg, n_steps=2, n_images=n, mesh=mesh)
+    losses = _run_steps(task_obj, cfg, n_steps=2, n_images=2 * n, mesh=mesh)
     assert losses[0] > 0
 
 

@@ -56,3 +56,40 @@ def test_fold_bn_preserves_eval_outputs():
         np.testing.assert_allclose(
             np.asarray(after["one2many"]["cls"][lvl]),
             np.asarray(before["one2many"]["cls"][lvl]), rtol=2e-3, atol=2e-3)
+
+
+def test_fused_inference_mode_matches_unfused():
+    """fused_inference() + fold_bn == plain eval forward (FoldedBN skips
+    the trivial BN entirely; must be numerically equivalent in fp32)."""
+    from yolosharp_tpu.nn import fused_inference
+
+    cfg = ArchCfg(version="v8", size="n", task="segment", nc=8)
+    net, variables, x = _init(cfg)
+    import jax.tree_util as jtu
+
+    variables = dict(variables)
+    variables["batch_stats"] = jtu.tree_map_with_path(
+        lambda p, v: v + 0.1 if p[-1].key == "mean" else v * 1.5 + 0.01,
+        variables["batch_stats"])
+
+    rng = np.random.default_rng(1)
+    xin = jnp.asarray(rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32))
+    before = net.apply(variables, xin, False)
+    fused_vars = fold_bn(variables)
+    with fused_inference():
+        after = net.apply(fused_vars, xin, False)
+    flat_b = jax.tree_util.tree_leaves(before)
+    flat_a = jax.tree_util.tree_leaves(after)
+    assert len(flat_a) == len(flat_b)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-3)
+
+
+def test_fused_inference_flag_scoping():
+    from yolosharp_tpu.nn import fused_inference, fused_inference_active
+
+    assert not fused_inference_active()
+    with fused_inference():
+        assert fused_inference_active()
+    assert not fused_inference_active()

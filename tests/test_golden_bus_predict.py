@@ -177,7 +177,7 @@ def test_bus_image_full_pipeline_golden():
     arr = np.asarray(img, np.float32)[None]
     arr = np.asarray(pad_to_multiple(jnp.asarray(arr), 32, 114.0)) / 255.0
     fn = det._predict_fn(arr.shape)
-    out = jax.device_get(fn(variables, jnp.asarray(arr),
+    out = jax.device_get(fn(det._predict_variables(), jnp.asarray(arr),
                             conf_thres, 0.45))
     valid = out.valid[0]
     got_boxes = out.boxes[0][valid]

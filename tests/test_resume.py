@@ -2,6 +2,7 @@
 counter must survive serialization exactly."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -11,6 +12,7 @@ from yolosharp_tpu.nn import ArchCfg, YoloNet
 from yolosharp_tpu.train import TrainState, make_optimizer, make_train_step
 
 
+@pytest.mark.slow
 def test_resume_roundtrip(tmp_path):
     cfg = ArchCfg(version="v8", size="n", task="detect", nc=4)
     net = YoloNet(cfg)

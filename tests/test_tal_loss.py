@@ -282,3 +282,39 @@ def test_classification_loss():
     p = jax.nn.log_softmax(logits)
     want = -(float(p[0, 0]) + float(p[1, 1])) / 2
     np.testing.assert_allclose(float(loss), want, rtol=1e-6)
+
+
+def test_segmentation_loss_crowded_fg_uncapped():
+    """Round-1 regression: >256 foreground anchors silently lost mask
+    gradients. The default slot bound (tal_topk * max_labels) must equal a
+    fully-uncapped computation on a crowded batch."""
+    rng = np.random.default_rng(9)
+    B, M, nc = 1, 40, 8          # up to 400 fg anchors with tal_topk=10
+    preds = _fake_det_preds(rng, B=B, nc=nc, hw=160)  # A = 525
+    key = jax.random.PRNGKey(11)
+    preds["mask"] = tuple(
+        jax.random.normal(jax.random.fold_in(key, i), b.shape[:3] + (32,))
+        for i, b in enumerate(preds["box"]))
+    preds["proto"] = jax.random.normal(key, (B, 40, 40, 32))
+    batch = _fake_batch(rng, B=B, M=M, nc=nc)
+    # non-overlapping 8x5 grid of gt boxes -> each claims ~tal_topk anchors
+    cx = (np.arange(8) + 0.5) / 8
+    cy = (np.arange(5) + 0.5) / 5
+    gx, gy = np.meshgrid(cx, cy)
+    boxes = np.stack([gx.ravel(), gy.ravel(),
+                      np.full(40, 0.115), np.full(40, 0.19)], -1)
+    batch["bboxes"] = jnp.asarray(boxes[None].astype(np.float32))
+    batch["masks"] = jnp.asarray(
+        rng.integers(0, M + 1, (B, 40, 40)).astype(np.float32))
+
+    loss_def, items_def = segmentation_loss(preds, batch, nc=nc)
+    a_total = sum(int(np.prod(b.shape[1:3])) for b in preds["box"])
+    loss_all, items_all = segmentation_loss(preds, batch, nc=nc,
+                                            max_fg=a_total)
+    np.testing.assert_allclose(float(loss_def), float(loss_all), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(items_def), np.asarray(items_all),
+                               rtol=1e-5)
+    # the old 256 cap genuinely diverges on this batch (guards the guard)
+    loss_256, _ = segmentation_loss(preds, batch, nc=nc, max_fg=256)
+    assert abs(float(loss_256) - float(loss_all)) > 1e-6, \
+        "crowded batch no longer exceeds 256 fg anchors; strengthen it" 

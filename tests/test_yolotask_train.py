@@ -50,3 +50,37 @@ def test_yolotask_train_full_loop(tmp_path, monkeypatch):
     rows = (out / "log.csv").read_text().strip().splitlines()
     assert len(rows) == 3, rows  # header + 2 epochs
     assert rows[0].startswith("Epoch,Time,train/box_loss"), rows[0]
+
+
+@needs_assets
+def test_yolotask_train_minimal_smoke(tmp_path, monkeypatch):
+    """Un-gated facade smoke (VERDICT r1 #9): the YoloTask.train() loop —
+    epoch loop, warm-up LR, sharded step, val, checkpoints, CSV — runs in
+    every default suite pass (tiny 64px config, 1 epoch, 4 images)."""
+    from yolosharp_tpu import Config, TaskType, YoloSize, YoloType, YoloTask
+    from yolosharp_tpu.types import ImageProcessType
+    import yolosharp_tpu.data.dataset as dsmod
+
+    orig_load = dsmod.load_labels
+
+    def small_load(config, is_val=False, use_rectangle=False):
+        recs = orig_load(config, is_val=is_val, use_rectangle=use_rectangle)
+        return recs[:4]
+
+    monkeypatch.setattr(dsmod, "load_labels", small_load)
+
+    cfg = Config(
+        root_path=os.path.join(ASSETS, "coco128"),
+        train_data_path="train.txt", val_data_path="val.txt",
+        output_path=str(tmp_path / "run"),
+        task_type=TaskType.detect, yolo_type=YoloType.v8,
+        yolo_size=YoloSize.n, number_class=80, image_size=64,
+        batch_size=4, epochs=1, end2end=False, workers=2,
+        image_process_type=ImageProcessType.letterbox)
+    task = YoloTask(cfg)
+    task.train()
+    run = tmp_path / "run"
+    assert (run / "log.csv").exists()
+    assert (run / "weights" / "best.bin").exists()
+    assert (run / "weights" / "last.bin").exists()
+    assert (run / "weights" / "last_state.npz").exists()

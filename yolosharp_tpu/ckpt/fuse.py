@@ -45,22 +45,39 @@ def bias_init(variables, nc: int, imgsz: int = 640):
 
 
 def fold_bn(variables, eps: float = 1e-3):
-    """Fold BN statistics into the preceding conv kernels (inference only)."""
+    """Fold BN statistics into the preceding conv kernels (inference only).
+
+    Handles every foldable module shape in the zoo:
+     - ConvBN / DWConv:  {stem}.conv.kernel
+     - Conv2:            {stem}.conv.kernel AND {stem}.cv2.kernel (both
+       branches feed the shared BN, so both scale by gamma/sqrt(var+eps))
+     - ConvTranspose:    {stem}.conv_transpose.kernel (HWIO, O last)
+    RepConv's optional identity-branch BN has no conv to fold into and is
+    left untouched (nn.common keeps it a real BatchNorm in fused mode).
+
+    The folded tree stays checkpoint-compatible: a trivial BN remains
+    (scale=1, mean=0, var=1-eps, bias=b'), and nn.common.fused_inference()
+    can skip it entirely as a bias add.
+    """
     params = flatten(variables["params"])
     stats = flatten(variables.get("batch_stats", {}))
     for key in list(params):
         if not key.endswith(".bn.scale"):
             continue
         stem = key[: -len(".bn.scale")]
-        kkey = f"{stem}.conv.kernel"
-        if kkey not in params or f"{stem}.bn.mean" not in stats:
+        kernels = [k for k in (f"{stem}.conv.kernel", f"{stem}.cv2.kernel",
+                               f"{stem}.conv_transpose.kernel")
+                   if k in params]
+        if not kernels or f"{stem}.bn.mean" not in stats:
             continue
         gamma = np.asarray(params[key], np.float32)
         beta = np.asarray(params[f"{stem}.bn.bias"], np.float32)
         mean = np.asarray(stats[f"{stem}.bn.mean"], np.float32)
         var = np.asarray(stats[f"{stem}.bn.var"], np.float32)
         mul = gamma / np.sqrt(var + eps)
-        params[kkey] = np.asarray(params[kkey], np.float32) * mul
+        for kkey in kernels:
+            # HWIO: broadcast over the output-channel (last) axis
+            params[kkey] = np.asarray(params[kkey], np.float32) * mul
         # leave a trivial BN: y = (x - 0) * 1/sqrt((1-eps)+eps) * 1 + b'
         params[key] = np.ones_like(gamma)
         params[f"{stem}.bn.bias"] = beta - mean * mul

@@ -77,12 +77,10 @@ class YoloDataset:
                 ) -> Dict[str, np.ndarray]:
         """Stack transformed records into one padded batch dict."""
         cfg = self.config
-        b = len(recs)
         # pad to the batch max (bottom/right, gray) if shapes differ — keeps
         # label pixel coords valid since all transforms pad top-left-anchored
         h = max(r.img.shape[0] for r in recs)
         w = max(r.img.shape[1] for r in recs)
-        nbox = 5 if self.task == TaskType.obb else 4
 
         def pad_to(img, th, tw, fill):
             if img.shape[0] == th and img.shape[1] == tw:
@@ -94,22 +92,77 @@ class YoloDataset:
         # images stay uint8: 4x less host->device traffic; the jitted step
         # normalizes on device (reference moves fp tensors, YoloDataset.cs:140)
         images = np.stack([pad_to(r.img, h, w, 114) for r in recs])
-        cls = np.zeros((b, max_labels), np.int32)
-        bboxes = np.zeros((b, max_labels, nbox), np.float32)
-        mask_gt = np.zeros((b, max_labels), bool)
-        out = {"images": images, "cls": cls, "bboxes": bboxes,
-               "mask_gt": mask_gt}
+        out = {"images": images}
+        out.update(self._label_arrays(recs, max_labels, h, w))
 
-        if self.task == TaskType.pose:
-            out["keypoints"] = np.zeros(
-                (b, max_labels, cfg.keypoint_num, cfg.keypoint_dim),
-                np.float32)
         if self.task == TaskType.segment:
             mh, mw = h // cfg.mask_ratio, w // cfg.mask_ratio
             out["masks"] = np.stack([
                 pad_to(r.mask, mh, mw, 0) if r.mask is not None else
                 np.zeros((mh, mw), np.uint8)
                 for r in recs]).astype(np.float32)
+        return out
+
+    def use_device_augment(self) -> bool:
+        """True when this dataset's train batches should be planned on the
+        host and rendered on device (data/device_augment.py)."""
+        cfg = self.config
+        return (bool(getattr(cfg, "device_augment", False))
+                and not self.is_val and not self.mosaic_closed
+                and cfg.image_process_type == ImageProcessType.mosaic
+                and cfg.mosaic >= 1.0)
+
+    def device_batch(self, idx, max_labels: int, partner_group: int = 0
+                     ) -> Dict[str, np.ndarray]:
+        """Plan a device-augmented batch: label math on host, pixels as
+        plan arrays + a uint8 source pool for the jitted train step.
+
+        partner_group > 0 restricts mosaic partners to groups of that size
+        (so each sample's 4 tiles stay within one data-parallel shard).
+        """
+        from . import device_augment as DA
+
+        cfg = self.config
+        recs = [self.records[int(i)] for i in idx]
+        plan, labels = DA.plan_mosaic_batch(recs, cfg, self.rng,
+                                            group=partner_group)
+        s = cfg.image_size
+        b = len(recs)
+        pool = np.full((b, s, s, 3), 114, np.uint8)
+        for k, r in enumerate(recs):
+            h, w = r.resized_shape
+            pool[k, :h, :w] = r.img
+        out = self._label_arrays(labels, max_labels, s, s)
+        out.update(aug_pool=pool, aug_src_idx=plan.src_idx,
+                   aug_rects=plan.rects, aug_pads=plan.pads,
+                   aug_minv=plan.minv, aug_persp=plan.persp,
+                   aug_flips=plan.flips, aug_hsv=plan.hsv)
+        if self.task == TaskType.segment:
+            sm = s // cfg.mask_ratio
+            mpool = np.zeros((b, sm, sm), np.uint8)
+            for k, r in enumerate(recs):
+                if r.mask is not None:
+                    mh, mw = r.mask.shape[:2]
+                    mpool[k, :min(mh, sm), :min(mw, sm)] = \
+                        r.mask[:sm, :sm]
+            out["aug_mask_pool"] = mpool
+            out["aug_mask_lut"] = plan.mask_lut
+        return out
+
+    def _label_arrays(self, recs: List[LabelRecord], max_labels: int,
+                      h: int, w: int) -> Dict[str, np.ndarray]:
+        """Padded/normalized label tensors for a batch (canvas h x w)."""
+        cfg = self.config
+        b = len(recs)
+        nbox = 5 if self.task == TaskType.obb else 4
+        cls = np.zeros((b, max_labels), np.int32)
+        bboxes = np.zeros((b, max_labels, nbox), np.float32)
+        mask_gt = np.zeros((b, max_labels), bool)
+        out = {"cls": cls, "bboxes": bboxes, "mask_gt": mask_gt}
+        if self.task == TaskType.pose:
+            out["keypoints"] = np.zeros(
+                (b, max_labels, cfg.keypoint_num, cfg.keypoint_dim),
+                np.float32)
 
         for i, r in enumerate(recs):
             n = min(len(r.cls), max_labels)
@@ -148,10 +201,15 @@ class ClassificationDataset:
         self.is_val = is_val
         from .labels import get_img_files
 
-        root = os.path.abspath(os.path.join(
-            config.root_path,
-            config.val_data_path if is_val else config.train_data_path))
+        split = config.val_data_path if is_val else config.train_data_path
+        root = os.path.abspath(os.path.join(config.root_path, split))
         if not os.path.isdir(root) and not os.path.isfile(root):
+            # quiet fallback here would make train and val the SAME data;
+            # surface it (the reference errors on the missing split dir,
+            # ClassificationDataset.cs:45-68 via BaseDataset file scan)
+            print(f"WARNING: classification split '{split}' not found under "
+                  f"{config.root_path}; falling back to the root folder — "
+                  f"train and val will see identical data.")
             root = os.path.abspath(config.root_path)
         files = get_img_files(root)
         # class name = parent directory name (folder-per-class convention)

@@ -55,6 +55,10 @@ class DataLoader:
         self.prefetch = prefetch
         self.rng = np.random.default_rng(seed)
         self._max_labels = max_labels
+        # device-augment: mosaic partners restricted to groups of this size
+        # (set by the trainer to batch_size / mesh_devices so tiles never
+        # cross data-parallel shards); 0 = whole batch
+        self.partner_group = 0
 
     @property
     def max_labels(self) -> int:
@@ -95,8 +99,15 @@ class DataLoader:
                     for idx in self._batches():
                         if stop.is_set():
                             break
-                        recs = list(pool.map(self.dataset.get, idx))
-                        q.put(self.dataset.collate(recs, ml))
+                        if (hasattr(self.dataset, "use_device_augment")
+                                and self.dataset.use_device_augment()):
+                            # host plans, device renders: no per-sample
+                            # cv2 work at all (data/device_augment.py)
+                            q.put(self.dataset.device_batch(
+                                idx, ml, self.partner_group))
+                        else:
+                            recs = list(pool.map(self.dataset.get, idx))
+                            q.put(self.dataset.collate(recs, ml))
             except Exception as exc:  # surface worker errors to consumer
                 q.put(exc)
             finally:

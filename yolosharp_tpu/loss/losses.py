@@ -218,12 +218,17 @@ def segmentation_loss(preds: Dict, batch: Dict, *, nc: int,
                       reg_max: int = 16, tal_topk: int = 10,
                       tal_topk2: int | None = None, overlap: bool = True,
                       hyp_box: float = 7.5, hyp_cls: float = 0.5,
-                      hyp_dfl: float = 1.5, max_fg: int = 256):
+                      hyp_dfl: float = 1.5, max_fg: int | None = None):
     """v8SegmentationLoss (Loss.cs:688-863). Returns (loss, items[5]).
 
-    The per-image python loop over fg anchors becomes a fixed `max_fg`-slot
-    gather + masked einsum (static shapes). items layout mirrors the
-    reference: [box, seg, cls, dfl, semseg(=0)]. Masks must be
+    The per-image python loop over fg anchors becomes a fixed-slot gather +
+    masked einsum (static shapes). The slot count is the PROVABLE upper
+    bound on foreground anchors — TAL's select_highest_overlaps dedups to
+    at most tal_topk anchors per gt, so F = min(A, topk * max_labels) loses
+    nothing (round 1 silently truncated at 256, dropping mask gradients in
+    crowded scenes). `max_fg` overrides the bound (memory knob only; a
+    value below the bound re-introduces truncation). items layout mirrors
+    the reference: [box, seg, cls, dfl, semseg(=0)]. Masks must be
     overlap-encoded (instance id + 1 per pixel), the reference's default.
     """
     assert overlap, "only overlap-encoded masks are supported"
@@ -240,7 +245,10 @@ def segmentation_loss(preds: Dict, batch: Dict, *, nc: int,
         # we resize masks to proto size instead (single bilinear, on device)
         masks = jax.image.resize(masks, (b, mh, mw), "nearest")
 
-    # select up to max_fg foreground anchors per image
+    # exact static foreground bound: <= tal_topk anchors per gt instance
+    if max_fg is None:
+        topk = max(tal_topk, tal_topk2 or 0)
+        max_fg = topk * batch["cls"].shape[1]
     fg = out.fg_mask.astype(jnp.float32)
     score, idx = jax.lax.top_k(fg, min(max_fg, fg.shape[-1]))   # (B, F)
     valid = score > 0.0

@@ -1,3 +1,5 @@
+from .common import FoldedBN, fused_inference, fused_inference_active
 from .model import ArchCfg, YoloNet, build_arch, feat_shapes, STRIDES
 
-__all__ = ["ArchCfg", "YoloNet", "build_arch", "feat_shapes", "STRIDES"]
+__all__ = ["ArchCfg", "YoloNet", "build_arch", "feat_shapes", "STRIDES",
+           "FoldedBN", "fused_inference", "fused_inference_active"]

@@ -60,6 +60,62 @@ ACTS = {
 }
 
 
+# ---------------------------------------------------------------------------
+# fused-inference mode (the reference's fuse()/forward_fuse, Convs.cs:58-61)
+#
+# On TPU, eval-mode BatchNorm is not just extra FLOPs: its per-channel
+# affine breaks XLA's conv layout chain at small channel counts, inserting
+# full-tensor layout copies around every early conv (~40% of v8s-640
+# forward time). With statistics pre-folded into the conv kernels
+# (ckpt.fuse.fold_bn), BN collapses to a bias add that fuses into the conv,
+# and the copies disappear.
+
+import contextlib
+import threading
+
+_FUSED = threading.local()
+
+
+def fused_inference_active() -> bool:
+    return getattr(_FUSED, "on", False)
+
+
+@contextlib.contextmanager
+def fused_inference():
+    """Trace-time switch: BN layers whose stats were folded by
+    ckpt.fuse.fold_bn are replaced with a bias add. Wrap the *traced*
+    call (e.g. the body of a jitted predict fn); params MUST be the
+    output of fold_bn or results are wrong."""
+    prev = fused_inference_active()
+    _FUSED.on = True
+    try:
+        yield
+    finally:
+        _FUSED.on = prev
+
+
+class FoldedBN(nn.Module):
+    """Stand-in for a BatchNorm folded into its conv: y = x + bias.
+
+    Declares only the `bias` leaf (path-compatible with nn.BatchNorm's
+    "bn.bias"); scale/mean/var leaves in the checkpoint are simply unread.
+    """
+
+    @nn.compact
+    def __call__(self, x):
+        bias = self.param("bias", nn.initializers.zeros, (x.shape[-1],))
+        return x + bias.astype(x.dtype)
+
+
+def batch_norm(y, train: bool, name: str = "bn"):
+    """BN with reference numerics (eps 1e-3, torch momentum 0.03), or the
+    folded bias add under fused_inference()."""
+    if not train and fused_inference_active():
+        return FoldedBN(name=name)(y)
+    return nn.BatchNorm(use_running_average=not train, momentum=0.97,
+                        epsilon=1e-3, dtype=y.dtype, name=name)(y)
+
+
 class Conv2d(nn.Module):
     """Bare torch-style conv (NHWC). Named leaf params: kernel[, bias]."""
 
@@ -108,8 +164,7 @@ class ConvBN(nn.Module):
     def __call__(self, x, train: bool = False):
         y = Conv2d(self.c2, self.k, self.s, self.p, self.g, self.d,
                    use_bias=self.use_bias, name="conv")(x)
-        y = nn.BatchNorm(use_running_average=not train, momentum=0.97,
-                         epsilon=1e-3, dtype=y.dtype, name="bn")(y)
+        y = batch_norm(y, train)
         return ACTS[self.act](y)
 
 
@@ -135,8 +190,7 @@ class Conv2(nn.Module):
                    use_bias=False, name="conv")(x)
         y = y + Conv2d(self.c2, 1, self.s, 0, self.g, self.d,
                        use_bias=False, name="cv2")(x)
-        y = nn.BatchNorm(use_running_average=not train, momentum=0.97,
-                         epsilon=1e-3, dtype=y.dtype, name="bn")(y)
+        y = batch_norm(y, train)
         return ACTS[self.act](y)
 
 
@@ -148,8 +202,7 @@ class DWConv(ConvBN):
         g = math.gcd(x.shape[-1], self.c2)
         y = Conv2d(self.c2, self.k, self.s, self.p, g, self.d,
                    use_bias=self.use_bias, name="conv")(x)
-        y = nn.BatchNorm(use_running_average=not train, momentum=0.97,
-                         epsilon=1e-3, dtype=y.dtype, name="bn")(y)
+        y = batch_norm(y, train)
         return ACTS[self.act](y)
 
 
@@ -250,8 +303,7 @@ class ConvTranspose(nn.Module):
         y = ConvTranspose2dRaw(self.c2, self.k, self.s, self.p,
                                use_bias=not self.bn, name="conv_transpose")(x)
         if self.bn:
-            y = nn.BatchNorm(use_running_average=not train, momentum=0.97,
-                             epsilon=1e-3, dtype=y.dtype, name="bn")(y)
+            y = batch_norm(y, train)
         return ACTS[self.act](y)
 
 

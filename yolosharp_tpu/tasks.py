@@ -83,6 +83,31 @@ class BaseTask:
                                            self.config.number_class)
         return self.variables
 
+    def _predict_variables(self):
+        """Variables used by predict: BN-folded (cached per source tree)
+        when Config.fuse_inference, raw otherwise."""
+        v = self._ensure_variables()
+        if not self.config.fuse_inference:
+            return v
+        if getattr(self, "_fused_src", None) is not v:
+            from .ckpt.fuse import fold_bn
+
+            # fold_bn returns host numpy; pin the folded tree on device so
+            # repeated predicts don't re-upload the parameters every call
+            self._fused_vars = jax.device_put(fold_bn(v))
+            self._fused_src = v
+        return self._fused_vars
+
+    def _apply_eval(self, variables, images):
+        """Eval-mode forward honouring Config.fuse_inference (call only
+        with variables from _predict_variables when fusing)."""
+        if self.config.fuse_inference:
+            from .nn import fused_inference
+
+            with fused_inference():
+                return self.net.apply(variables, images, False)
+        return self.net.apply(variables, images, False)
+
     # ---------------------------------------------------------- checkpoint
     def load_model(self, path: str, skip_nc_not_equal_layers: bool = False):
         """LoadModel semantics (YoloBaseTaskModel.cs:27-114)."""
@@ -197,6 +222,11 @@ class BaseTask:
                   f"(continuing at epoch {start_epoch}).")
 
         mesh = self._make_mesh(cfg.batch_size)
+        if mesh is not None:
+            # device-augmented mosaic partners must stay within each
+            # data-parallel shard (no cross-device tile gathers)
+            train_dl.partner_group = (cfg.batch_size
+                                      // len(mesh.devices.flat))
         train_loss_fn, _ = self._loss_fns()
         step_fn = make_train_step(self.net, train_loss_fn,
                                   compute_dtype=cfg.compute_dtype, mesh=mesh)
@@ -435,7 +465,7 @@ class Detector(BaseTask):
 
             @jax.jit
             def fn(variables, img, conf, iou):
-                preds = self.net.apply(variables, img, False)
+                preds = self._apply_eval(variables, img)
                 dec = self._decode_branch(preds)
                 if self.arch.end2end:
                     return dec
@@ -452,7 +482,7 @@ class Detector(BaseTask):
                 else predict_threshold)
         iou = (self.config.iou_threshold if iou_threshold is None
                else iou_threshold)
-        variables = self._ensure_variables()
+        variables = self._predict_variables()
         img = np.asarray(image, np.float32)[None]
         img = np.asarray(pad_to_multiple(jnp.asarray(img), 32, 114.0)) / 255.0
         fn = self._predict_fn(img.shape)
@@ -604,7 +634,7 @@ class Segmenter(Detector):
 
             @jax.jit
             def fn(variables, x, conf, iou):
-                preds = self.net.apply(variables, x, False)
+                preds = self._apply_eval(variables, x)
                 branch = (preds["one2one"] if self.arch.end2end
                           else preds["one2many"])
                 dec = decode_inference(branch, nc=nc,
@@ -627,7 +657,7 @@ class Segmenter(Detector):
                 else predict_threshold)
         iou = (self.config.iou_threshold if iou_threshold is None
                else iou_threshold)
-        variables = self._ensure_variables()
+        variables = self._predict_variables()
         oh, ow = image.shape[:2]
         img = np.asarray(image, np.float32)[None]
         img = np.asarray(pad_to_multiple(jnp.asarray(img), 32, 114.0)) / 255.0
@@ -727,7 +757,7 @@ class Obber(Detector):
 
             @jax.jit
             def fn(variables, x, conf, iou):
-                preds = self.net.apply(variables, x, False)
+                preds = self._apply_eval(variables, x)
                 branch = (preds["one2one"] if self.arch.end2end
                           else preds["one2many"])
                 dec = decode_inference(branch, nc=nc,
@@ -748,7 +778,7 @@ class Obber(Detector):
                 else predict_threshold)
         iou = (self.config.iou_threshold if iou_threshold is None
                else iou_threshold)
-        variables = self._ensure_variables()
+        variables = self._predict_variables()
         img = np.asarray(image, np.float32)[None]
         img = np.asarray(pad_to_multiple(jnp.asarray(img), 32, 114.0)) / 255.0
 
@@ -895,7 +925,7 @@ class PoseDetector(Detector):
         conf = (cfg.predict_threshold if predict_threshold is None
                 else predict_threshold)
         iou = (cfg.iou_threshold if iou_threshold is None else iou_threshold)
-        variables = self._ensure_variables()
+        variables = self._predict_variables()
         img = np.asarray(image, np.float32)[None]
         img = np.asarray(pad_to_multiple(jnp.asarray(img), 32, 114.0)) / 255.0
         K, kd = cfg.keypoint_num, cfg.keypoint_dim
@@ -960,19 +990,25 @@ class Classifier(BaseTask):
         print(f"{'All':>10}{count:>10}{top1:>10.3f}{top5:>10.3f}")
         return [top1, top5]
 
+    def _predict_fn(self, shape):
+        if shape not in self._predict_cache:
+
+            @jax.jit
+            def fn(variables, x):
+                preds = self._apply_eval(variables, x / 255.0)
+                return jax.nn.softmax(preds["cls"].astype(jnp.float32), -1)
+
+            self._predict_cache[shape] = fn
+        return self._predict_cache[shape]
+
     def image_predict(self, image, predict_threshold=None,
                       iou_threshold=None) -> List[YoloResult]:
-        variables = self._ensure_variables()
+        variables = self._predict_variables()
         import cv2
 
         s = self.config.image_size
         img = cv2.resize(np.asarray(image), (s, s)).astype(np.float32)[None]
-
-        @jax.jit
-        def fn(variables, x):
-            preds = self.net.apply(variables, x / 255.0, False)
-            return jax.nn.softmax(preds["cls"].astype(jnp.float32), -1)
-
+        fn = self._predict_fn(img.shape)
         probs = np.asarray(jax.device_get(fn(variables, jnp.asarray(img))))[0]
         order = np.argsort(-probs)
         return [YoloResult(class_id=int(i), score=float(probs[i]))

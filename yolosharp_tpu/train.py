@@ -134,6 +134,33 @@ def normalize_images(images, compute_dtype):
     return images.astype(compute_dtype)
 
 
+def resolve_batch_images(batch: Dict, compute_dtype):
+    """Produce (images, batch) for the step: either the host-prepared
+    `images` tensor, or the device-rendered augmentation (one fused
+    gather/sample program, data/device_augment.py) when the loader shipped
+    an `aug_pool` plan. Segmentation masks render on device too."""
+    if "aug_pool" not in batch:
+        return normalize_images(batch["images"], compute_dtype), batch
+    from .data.device_augment import (mosaic_perspective_images,
+                                      mosaic_perspective_masks)
+
+    s = batch["aug_pool"].shape[1]
+    arrays = (batch["aug_src_idx"], batch["aug_rects"], batch["aug_pads"],
+              batch["aug_minv"], batch["aug_persp"], batch["aug_flips"],
+              batch["aug_hsv"])
+    images = mosaic_perspective_images(batch["aug_pool"], arrays, s)
+    images = images.astype(compute_dtype) / 255.0
+    if "aug_mask_pool" in batch:
+        ratio = s // batch["aug_mask_pool"].shape[1]
+        marrays = (batch["aug_src_idx"], batch["aug_rects"],
+                   batch["aug_pads"], batch["aug_minv"], batch["aug_persp"],
+                   batch["aug_flips"], batch["aug_mask_lut"])
+        masks = mosaic_perspective_masks(batch["aug_mask_pool"], marrays,
+                                         s, ratio)
+        batch = {**batch, "masks": masks}
+    return images, batch
+
+
 class TrainState(struct.PyTreeNode):
     step: jnp.ndarray
     params: Any
@@ -169,7 +196,7 @@ def make_train_step(net, loss_fn, *, compute_dtype=jnp.float32,
     """
 
     def step_fn(state: TrainState, batch: Dict, loss_kwargs: Dict):
-        images = normalize_images(batch["images"], compute_dtype)
+        images, batch = resolve_batch_images(batch, compute_dtype)
 
         def loss_of(params):
             variables = {"params": params, "batch_stats": state.batch_stats}
