@@ -54,3 +54,50 @@ def test_resume_roundtrip(tmp_path):
     s1, l1, _ = step(state, batch, {})
     s2, l2, _ = step(restored, batch, {})
     np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+
+
+def test_dynamic_loss_scale_semantics():
+    """fp16 AMP shim (Amp.cs:94-135): scale halves on a non-finite step
+    (params untouched) and doubles after the growth interval."""
+    cfg = ArchCfg(version="v8", size="n", task="detect", nc=4)
+    net = YoloNet(cfg)
+    variables = net.init(jax.random.PRNGKey(0),
+                         jnp.zeros((1, 64, 64, 3), jnp.float32), False)
+
+    calls = {"n": 0}
+
+    def loss_fn(preds, batch):
+        l = detection_loss(preds["one2many"], batch, nc=4)[0]
+        # second step produces a NaN loss -> non-finite grads
+        return l * batch["poison"], jnp.zeros((3,))
+
+    tx = make_optimizer(nc=4, epochs=2, steps_per_epoch=4)
+    state = TrainState.create({"params": variables["params"],
+                               "batch_stats": variables["batch_stats"]},
+                              tx, init_scale=65536.0)
+    step = make_train_step(net, loss_fn, donate=False,
+                           dynamic_loss_scale=True,
+                           scale_growth_interval=2)
+    rng = np.random.default_rng(0)
+    batch = {
+        "images": rng.uniform(0, 1, (2, 64, 64, 3)).astype(np.float32),
+        "cls": rng.integers(0, 4, (2, 4)).astype(np.int32),
+        "bboxes": rng.uniform(0.2, 0.6, (2, 4, 4)).astype(np.float32),
+        "mask_gt": np.ones((2, 4), bool),
+        "poison": np.float32(1.0),
+    }
+    p0 = jax.tree_util.tree_leaves(state.params)[0].copy()
+    state, loss, _ = step(state, batch, {})
+    assert float(state.loss_scale) == 65536.0 and int(state.grow_count) == 1
+    # non-finite step: scale halves, params keep their previous values
+    p_before = jax.tree_util.tree_leaves(state.params)[0].copy()
+    bad = dict(batch, poison=np.float32(np.nan))
+    state, loss, _ = step(state, bad, {})
+    assert float(state.loss_scale) == 32768.0
+    assert int(state.grow_count) == 0
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree_util.tree_leaves(state.params)[0]), p_before)
+    # growth after interval consecutive finite steps
+    state, *_ = step(state, batch, {})
+    state, *_ = step(state, batch, {})
+    assert float(state.loss_scale) == 65536.0  # grew back 32768 -> 65536

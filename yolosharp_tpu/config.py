@@ -96,6 +96,16 @@ class Config:
     # host cv2. Labels keep the exact host math. Falls back to the host
     # path automatically when mosaic is off/probabilistic or for val.
     device_augment: bool = True
+    # True fp16 compute with the reference's dynamic loss scaling
+    # (Amp.cs:3-176: init 65536, /2 on non-finite, x2 every 2000 good
+    # steps). Off by default: ScalarType.float16 maps to bf16 on TPU,
+    # which needs no scaling. Parity shim for exact fp16 AMP semantics.
+    true_fp16: bool = False
+    # When set, capture a jax.profiler trace (viewable in TensorBoard /
+    # xprof) of train steps 2-5 of the first epoch into this directory.
+    # The reference has no profiler at all (SURVEY §5); this is the
+    # TPU-native observability hook.
+    profile_dir: Optional[str] = None
     max_labels: Optional[int] = None   # per-image gt padding (None = auto)
     mesh_shape: Optional[Tuple[int, ...]] = None  # data-parallel mesh (auto)
     cache_images: bool = True          # eager RAM cache like the reference
@@ -106,6 +116,8 @@ class Config:
 
         if self.scalar_type == ScalarType.float32:
             return jnp.float32
+        if self.true_fp16:
+            return jnp.float16
         # fp16 requested -> bf16 (native on TPU, no loss-scaling needed)
         return jnp.bfloat16
 

@@ -211,7 +211,9 @@ class BaseTask:
                             warmup_epochs=cfg.warm_up_epochs,
                             warmup_bias_lr=cfg.warm_up_bias_lr,
                             use_cos_lr=cfg.use_cos_lr, lrf=cfg.lrf)
-        state = TrainState.create(self._ensure_variables(), tx)
+        state = TrainState.create(
+            self._ensure_variables(), tx,
+            init_scale=65536.0 if cfg.true_fp16 else 1.0)
         start_epoch = 1
         if resume_from:
             from .ckpt.resume import restore_train_state
@@ -229,7 +231,8 @@ class BaseTask:
                                       // len(mesh.devices.flat))
         train_loss_fn, _ = self._loss_fns()
         step_fn = make_train_step(self.net, train_loss_fn,
-                                  compute_dtype=cfg.compute_dtype, mesh=mesh)
+                                  compute_dtype=cfg.compute_dtype, mesh=mesh,
+                                  dynamic_loss_scale=cfg.true_fp16)
 
         stopper = EarlyStopping(cfg.patience)
         best_fitness = -float("inf")
@@ -254,10 +257,24 @@ class BaseTask:
                             desc=f"epoch {epoch}/{cfg.epochs}", leave=False)
             except ImportError:
                 pbar = stream
+            profiling = False
             for jb in pbar:
+                if (cfg.profile_dir and epoch == start_epoch
+                        and nbatch == 1):
+                    # steps 2-5: step 1 pays compile; stop below
+                    jax.profiler.start_trace(cfg.profile_dir)
+                    profiling = True
                 state, loss, items = step_fn(state, jb, loss_kwargs)
                 items_sum = items if items_sum is None else items_sum + items
                 nbatch += 1
+                if profiling and nbatch >= 5:
+                    jax.block_until_ready(loss)
+                    jax.profiler.stop_trace()
+                    profiling = False
+                    print(f"profiler trace written to {cfg.profile_dir}")
+            if profiling:  # short epoch: close the trace cleanly
+                jax.block_until_ready(loss)
+                jax.profiler.stop_trace()
             # reference semantics: loss_detach items are per-batch means,
             # accumulated over batches and divided by dataset size in the log
             # (TrainEpoch:329-334 + WriteLog:229-232)
@@ -1033,8 +1050,8 @@ class YoloTask:
     def save_weight(self, path: str):
         return self.task.save_weight(path)
 
-    def train(self):
-        return self.task.train()
+    def train(self, resume_from: Optional[str] = None):
+        return self.task.train(resume_from=resume_from)
 
     def image_predict(self, image, predict_threshold: Optional[float] = None,
                       iou_threshold: Optional[float] = None):

@@ -166,14 +166,19 @@ class TrainState(struct.PyTreeNode):
     params: Any
     batch_stats: Any
     opt_state: Any
+    # fp16 dynamic loss scale (Amp.cs:17-48); fixed 1.0 under bf16/fp32
+    loss_scale: jnp.ndarray
+    grow_count: jnp.ndarray
     tx: optax.GradientTransformation = struct.field(pytree_node=False)
 
     @classmethod
-    def create(cls, variables, tx):
+    def create(cls, variables, tx, init_scale: float = 1.0):
         params = variables["params"]
         return cls(step=jnp.zeros((), jnp.int32), params=params,
                    batch_stats=variables.get("batch_stats", {}),
-                   opt_state=tx.init(params), tx=tx)
+                   opt_state=tx.init(params),
+                   loss_scale=jnp.asarray(init_scale, jnp.float32),
+                   grow_count=jnp.zeros((), jnp.int32), tx=tx)
 
     @property
     def variables(self):
@@ -182,7 +187,10 @@ class TrainState(struct.PyTreeNode):
 
 def make_train_step(net, loss_fn, *, compute_dtype=jnp.float32,
                     mesh=None, donate: bool = True,
-                    skip_nonfinite: bool = True):
+                    skip_nonfinite: bool = True,
+                    dynamic_loss_scale: bool = False,
+                    scale_growth_interval: int = 2000,
+                    max_loss_scale: float = 65536.0):
     """Build the jitted data-parallel train step.
 
     loss_fn(preds, batch, **loss_kwargs) -> (scalar_loss, items).
@@ -193,24 +201,39 @@ def make_train_step(net, loss_fn, *, compute_dtype=jnp.float32,
     skipping (Utils/Amp.cs:350-361): if any gradient is non-finite, the
     optimizer state and params keep their previous values (branch-free
     select, no host sync).
+
+    dynamic_loss_scale adds the reference fp16 AMP semantics
+    (Amp.cs:94-135): backward on loss * scale, grads unscaled before the
+    optimizer, scale halved (min 1) on a non-finite step and doubled
+    (capped) after scale_growth_interval consecutive finite steps.
+    bf16/fp32 training leaves it off — TPU bf16 needs no scaling. Create
+    the TrainState with init_scale=65536.0 when enabling.
     """
 
     def step_fn(state: TrainState, batch: Dict, loss_kwargs: Dict):
         images, batch = resolve_batch_images(batch, compute_dtype)
+        scale = (state.loss_scale if dynamic_loss_scale
+                 else jnp.asarray(1.0, jnp.float32))
 
         def loss_of(params):
             variables = {"params": params, "batch_stats": state.batch_stats}
             preds, updates = net.apply(variables, images, True,
                                        mutable=["batch_stats"])
             loss, items = loss_fn(preds, batch, **loss_kwargs)
-            return loss, (items, updates["batch_stats"])
+            return loss * scale, (items, updates["batch_stats"])
 
         grad_fn = jax.value_and_grad(loss_of, has_aux=True)
         (loss, (items, new_stats)), grads = grad_fn(state.params)
+        loss = loss / scale
+        if dynamic_loss_scale:
+            grads = jax.tree_util.tree_map(
+                lambda g: (g.astype(jnp.float32) / scale).astype(g.dtype),
+                grads)
         updates, new_opt = state.tx.update(grads, state.opt_state,
                                            state.params)
         new_params = optax.apply_updates(state.params, updates)
-        if skip_nonfinite:
+        new_scale, new_grow = state.loss_scale, state.grow_count
+        if skip_nonfinite or dynamic_loss_scale:
             finite = jnp.all(jnp.asarray(
                 [jnp.isfinite(g).all() for g in
                  jax.tree_util.tree_leaves(grads)]))
@@ -221,8 +244,19 @@ def make_train_step(net, loss_fn, *, compute_dtype=jnp.float32,
 
             new_params = sel(new_params, state.params)
             new_opt = sel(new_opt, state.opt_state)
+            if dynamic_loss_scale:
+                grown = new_grow + 1
+                do_grow = grown >= scale_growth_interval
+                new_scale = jnp.where(
+                    finite,
+                    jnp.where(do_grow,
+                              jnp.minimum(scale * 2.0, max_loss_scale),
+                              scale),
+                    jnp.maximum(scale * 0.5, 1.0))
+                new_grow = jnp.where(finite & ~do_grow, grown, 0)
         new_state = state.replace(step=state.step + 1, params=new_params,
-                                  batch_stats=new_stats, opt_state=new_opt)
+                                  batch_stats=new_stats, opt_state=new_opt,
+                                  loss_scale=new_scale, grow_count=new_grow)
         return new_state, loss, items
 
     if mesh is not None:
