@@ -1,0 +1,274 @@
+"""One-command benchmarks for all five BASELINE.json workload configs.
+
+Usage:  python scripts/bench_workloads.py [1 2 3 4 5]   (default: all)
+
+Each workload prints ONE JSON line {"workload": ..., "metric": ...,
+"value": ..., "unit": ...}. bench.py stays the headline single-number
+benchmark (workload #2); this script is the perf-regression guard for the
+rest (VERDICT r1 weak #10).
+
+ 1. YOLOv5n detect, single 640x640 image predict + NMS        (latency)
+ 2. YOLOv8s detect batch-32 + LetterBox-shape batched NMS     (throughput)
+ 3. YOLOv8n COCO128 fine-tune loop, real data pipeline        (img/s loop
+    vs img/s device-step — the host-bound-ness measurement)
+ 4. YOLOv11m-seg + YOLOv11-pose train/val device step         (ms/step)
+ 5. YOLOv12x End2End train step + OBB angle loss (DOTA-style) (ms/step)
+
+Steady-state predict timing uses an on-device lax.scan (single dispatch,
+immune to tunnel latency); train steps are timed per-call with a scalar
+readback (block_until_ready is unreliable through the axon tunnel).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+N_ITERS = 10
+
+
+def scan_bench(body, x):
+    @jax.jit
+    def run(x):
+        def step(carry, _):
+            out = body(x + carry.astype(x.dtype) * 1e-12)
+            return jnp.sum(out).astype(jnp.float32), ()
+
+        chk, _ = jax.lax.scan(step, jnp.float32(0.0), None, length=N_ITERS)
+        return chk
+
+    float(run(x))
+    t0 = time.perf_counter()
+    float(run(x))
+    return (time.perf_counter() - t0) / N_ITERS
+
+
+def emit(workload, metric, value, unit, **extra):
+    print(json.dumps({"workload": workload, "metric": metric,
+                      "value": round(value, 2), "unit": unit, **extra}),
+          flush=True)
+
+
+def time_train_steps(step_fn, state, batch, kwargs, n=10):
+    state, loss, _ = step_fn(state, batch, kwargs)   # compile
+    float(loss)
+    t0 = time.perf_counter()
+    for _ in range(n):
+        state, loss, _ = step_fn(state, batch, kwargs)
+    float(loss)
+    return (time.perf_counter() - t0) / n
+
+
+def synth_batch(rng, b, imgsz, m=8, nc=8, extra=None):
+    batch = {
+        "images": rng.uniform(0, 255, (b, imgsz, imgsz, 3)).astype(np.uint8),
+        "cls": rng.integers(0, nc, (b, m)).astype(np.int32),
+        "bboxes": rng.uniform(0.2, 0.6, (b, m, 4)).astype(np.float32),
+        "mask_gt": np.ones((b, m), bool),
+    }
+    if extra:
+        batch.update(extra)
+    return jax.device_put(batch)
+
+
+def w1_v5n_single_predict():
+    from yolosharp_tpu.ckpt.fuse import fold_bn
+    from yolosharp_tpu.nn import ArchCfg, YoloNet, fused_inference
+    from yolosharp_tpu.ops.nms import non_max_suppression
+    from yolosharp_tpu.predict import decode_inference
+
+    cfg = ArchCfg(version="v5u", size="n", task="detect", nc=80,
+                  end2end=False)
+    net = YoloNet(cfg)
+    key = jax.random.PRNGKey(0)
+    variables = net.init(key, jnp.zeros((1, 640, 640, 3), jnp.float32),
+                         False)
+    fused = jax.device_put(fold_bn(variables))
+    x = jax.random.uniform(key, (1, 640, 640, 3), jnp.bfloat16)
+
+    def predict(im):
+        with fused_inference():
+            p = net.apply(fused, im, False)
+        dec = decode_inference(p["one2many"], nc=80)
+        return non_max_suppression(dec, 0.25, 0.45, nc=80,
+                                   pre_topk=2048).scores
+
+    dt = scan_bench(predict, x)
+    emit(1, "YOLOv5n-640 single-image predict latency (fwd+decode+NMS)",
+         dt * 1e3, "ms/image", fps=round(1.0 / dt, 1))
+
+
+def w2_v8s_batch32():
+    # identical program to bench.py but without the calibration preamble
+    from yolosharp_tpu.ckpt.fuse import fold_bn
+    from yolosharp_tpu.nn import ArchCfg, YoloNet, fused_inference
+    from yolosharp_tpu.ops.nms import non_max_suppression
+    from yolosharp_tpu.predict import decode_inference
+
+    cfg = ArchCfg(version="v8", size="s", task="detect", nc=80,
+                  end2end=False)
+    net = YoloNet(cfg)
+    key = jax.random.PRNGKey(0)
+    variables = net.init(key, jnp.zeros((1, 640, 640, 3), jnp.float32),
+                         False)
+    fused = jax.device_put(fold_bn(variables))
+    x = jax.random.uniform(key, (32, 640, 640, 3), jnp.bfloat16)
+
+    def predict(im):
+        with fused_inference():
+            p = net.apply(fused, im, False)
+        dec = decode_inference(p["one2many"], nc=80)
+        return non_max_suppression(dec, 0.25, 0.45, nc=80,
+                                   pre_topk=2048).scores
+
+    dt = scan_bench(predict, x)
+    emit(2, "YOLOv8s-640 batch-32 predict throughput (fwd+decode+NMS)",
+         32 / dt, "img/s", ms_per_batch=round(dt * 1e3, 2))
+
+
+def w3_v8n_finetune_loop(imgsz=320, epochs=3):
+    """Real-data fine-tune loop throughput vs device-step throughput."""
+    from yolosharp_tpu.loss import detection_loss
+    from yolosharp_tpu.config import Config
+    from yolosharp_tpu.tasks import Detector
+    from yolosharp_tpu.types import ImageProcessType, TaskType
+    from yolosharp_tpu.data.loader import DataLoader, device_prefetch
+    from yolosharp_tpu.train import (TrainState, make_optimizer,
+                                     make_train_step)
+
+    root = "/root/reference/YoloSharpDemo/Assets/DataSets/coco128"
+    if not os.path.isdir(root):
+        emit(3, "SKIP: coco128 fixture not found", 0, "n/a")
+        return
+    cfg = Config(root_path=root, image_size=imgsz, batch_size=16,
+                 epochs=epochs, workers=4, end2end=False,
+                 task_type=TaskType.detect, close_mosaic=0,
+                 image_process_type=ImageProcessType.mosaic)
+    task = Detector(cfg)
+    train_ds, _ = task._make_datasets()
+    dl = DataLoader(train_ds, 16, shuffle=True, workers=4,
+                    max_labels=train_ds.max_label_count)
+
+    def loss_fn(preds, batch, **kw):
+        return detection_loss(preds["one2many"], batch, nc=80)
+
+    tx = make_optimizer(nc=80, epochs=epochs, steps_per_epoch=len(dl))
+    state = TrainState.create(task._ensure_variables(), tx)
+    step_fn = make_train_step(task.net, loss_fn,
+                              compute_dtype=cfg.compute_dtype)
+
+    # device-step rate: same batch replayed
+    jb = None
+    for b in device_prefetch(dl, jax.device_put, depth=2):
+        jb = b
+        break
+    dt_dev = time_train_steps(step_fn, state, jb, {})
+    # loop rate: full epochs through the real pipeline (epoch 1 = compile)
+    n_img = 0
+    t0 = None
+    for ep in range(epochs):
+        for jb in device_prefetch(dl, jax.device_put, depth=2):
+            state, loss, _ = step_fn(state, jb, {})
+            if t0 is not None:
+                n_img += int(jb["images"].shape[0])
+        float(loss)
+        if t0 is None:
+            t0 = time.perf_counter()   # start counting after warm epoch
+    dt_loop = time.perf_counter() - t0
+    loop_ips = n_img / dt_loop if dt_loop > 0 else 0.0
+    dev_ips = 16 / dt_dev
+    emit(3, f"YOLOv8n-{imgsz} COCO128 fine-tune loop throughput "
+            "(mosaic+HSV, device augment, bf16)", loop_ips, "img/s",
+         device_step_ips=round(dev_ips, 1),
+         loop_over_device=round(loop_ips / dev_ips, 3))
+
+
+def w4_v11_seg_pose():
+    from yolosharp_tpu.loss import pose_loss, segmentation_loss
+    from yolosharp_tpu.nn import ArchCfg, YoloNet
+    from yolosharp_tpu.train import (TrainState, make_optimizer,
+                                     make_train_step)
+
+    rng = np.random.default_rng(0)
+    for task, size, mk_loss, extra in (
+        ("segment", "m",
+         lambda: (lambda preds, batch, **kw: segmentation_loss(
+             preds["one2many"], batch, nc=8)),
+         {"masks": rng.integers(0, 9, (8, 160, 160)).astype(np.int32)}),
+        ("pose", "m",
+         lambda: (lambda preds, batch, **kw: pose_loss(
+             preds["one2many"], batch, nc=8)),
+         {"keypoints": rng.uniform(0, 1, (8, 8, 17, 3)).astype(np.float32)}),
+    ):
+        cfg = ArchCfg(version="v11", size=size, task=task, nc=8,
+                      end2end=False)
+        net = YoloNet(cfg)
+        variables = net.init(jax.random.PRNGKey(0),
+                             jnp.zeros((1, 640, 640, 3), jnp.float32), False)
+        tx = make_optimizer(nc=8, epochs=2, steps_per_epoch=4)
+        state = TrainState.create(variables, tx)
+        step_fn = make_train_step(net, mk_loss(), compute_dtype=jnp.bfloat16,
+                                  donate=False)
+        batch = synth_batch(rng, 8, 640, extra=extra)
+        dt = time_train_steps(step_fn, state, batch, {})
+        emit(4, f"YOLOv11{size}-{task} 640 train step (batch 8, bf16)",
+             dt * 1e3, "ms/step", ips=round(8 / dt, 1))
+
+
+def w5_v12x_e2e_obb():
+    from yolosharp_tpu.loss import e2e_wrap, obb_loss
+    from yolosharp_tpu.nn import ArchCfg, YoloNet
+    from yolosharp_tpu.train import (TrainState, make_optimizer,
+                                     make_train_step)
+
+    rng = np.random.default_rng(0)
+    cfg = ArchCfg(version="v12", size="x", task="obb", nc=15, end2end=True)
+    net = YoloNet(cfg)
+    variables = net.init(jax.random.PRNGKey(0),
+                         jnp.zeros((1, 640, 640, 3), jnp.float32), False)
+
+    many = lambda preds, batch, **kw: obb_loss(preds, batch, nc=15)
+    one = lambda preds, batch, **kw: obb_loss(preds, batch, nc=15,
+                                              tal_topk=1)
+    loss_fn = e2e_wrap(many, one)
+    tx = make_optimizer(nc=15, epochs=2, steps_per_epoch=4)
+    state = TrainState.create(variables, tx)
+    step_fn = make_train_step(net, loss_fn, compute_dtype=jnp.bfloat16,
+                              donate=False)
+    bboxes = np.concatenate(
+        [rng.uniform(0.2, 0.6, (4, 8, 4)),
+         rng.uniform(-0.7, 0.7, (4, 8, 1))], -1).astype(np.float32)
+    batch = {
+        "images": rng.uniform(0, 255, (4, 640, 640, 3)).astype(np.uint8),
+        "cls": rng.integers(0, 15, (4, 8)).astype(np.int32),
+        "bboxes": bboxes,
+        "mask_gt": np.ones((4, 8), bool),
+    }
+    batch = jax.device_put(batch)
+    dt = time_train_steps(step_fn, state, batch, {"gain": 1.0}, n=5)
+    emit(5, "YOLOv12x-640 End2End OBB train step (batch 4, bf16)",
+         dt * 1e3, "ms/step", ips=round(4 / dt, 1))
+
+
+WORKLOADS = {"1": w1_v5n_single_predict, "2": w2_v8s_batch32,
+             "3": w3_v8n_finetune_loop, "4": w4_v11_seg_pose,
+             "5": w5_v12x_e2e_obb}
+
+
+def main():
+    picks = [a for a in sys.argv[1:] if a in WORKLOADS] or list(WORKLOADS)
+    for p in picks:
+        WORKLOADS[p]()
+
+
+if __name__ == "__main__":
+    main()
