@@ -41,7 +41,9 @@ def test_scan_and_parse_coco128():
 
 @needs_assets
 def test_train_batch_shapes_mosaic():
-    cfg = _cfg()
+    # host-collate contract (device_augment batches are plan dicts rendered
+    # by the jitted step; covered in test_device_augment.py)
+    cfg = _cfg(device_augment=False)
     ds = YoloDataset(cfg, is_val=False)
     dl = DataLoader(ds, batch_size=4, workers=2, seed=0)
     batch = next(iter(dl))
@@ -79,7 +81,7 @@ def test_letterbox_pipeline():
 @needs_assets
 def test_segmentation_masks():
     cfg = _cfg(root_path=os.path.join(ASSETS, "coco128-seg"),
-               task_type=TaskType.segment)
+               task_type=TaskType.segment, device_augment=False)
     ds = YoloDataset(cfg, is_val=False)
     rec = ds.records[0]
     assert rec.mask is not None
