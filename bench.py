@@ -8,8 +8,7 @@ scan (one dispatch for N iterations; immune to host/tunnel latency).
 Honest-workload calibration: with random weights every anchor clears the
 0.25 confidence threshold, which no trained detector produces. The head's
 class bias is shifted once so ~300 anchors/image clear the threshold
-(dense-scene territory for a trained v8s); the NMS runs with the default
-pre_topk=2048 candidate pool and the result asserts `truncated == False`,
+(dense-scene territory for a trained v8s); the NMS runs with a pre_topk=512 candidate pool and the result asserts `truncated == False`,
 i.e. the measured configuration is *exact* greedy NMS for this workload.
 
 Prints ONE JSON line. vs_baseline is relative to the round-1 recorded
@@ -54,20 +53,40 @@ def main():
                          False)
     variables = bias_init(variables, 80)
 
-    # ---- calibrate: shift cls biases so ~300 anchors/img clear conf 0.25
+    # ---- make the workload honest: an untrained net's activations decay
+    # to numerical zero by the head (torch init x identity BN stats), so
+    # scores come out spatially constant and the NMS would see a degenerate
+    # all-equal pool. Scale kernels to keep activations alive and
+    # re-randomize the head's final convs so scores/boxes vary per anchor
+    # (same recipe as tests/test_golden_bus_predict.py), THEN shift cls
+    # biases so ~300 anchors/img clear conf 0.25 (dense-scene territory
+    # for a trained v8s).
+    import re as _re
+
+    params = flatten(variables["params"])
+    hidx = head_index(variables["params"])
+    prng = np.random.default_rng(3)
+    for k in list(params):
+        if k.endswith(".conv.kernel"):
+            params[k] = (np.asarray(params[k]) * 2.5).astype(np.float32)
+        if _re.match(rf"^{hidx}\.cv[23]\.\d\.2\.(kernel|bias)$", k):
+            params[k] = prng.uniform(
+                -0.3, 0.3, np.shape(params[k])).astype(np.float32)
+    variables = dict(variables)
+    variables["params"] = unflatten(params, variables["params"])
+
     @jax.jit
     def raw_scores(v, im):
         p = net.apply(v, im, False)
         dec = decode_inference(p["one2many"], nc=80)   # (B, 84, A)
         return dec[:, 4:84, :].max(axis=1)             # (B, A)
 
-    s = np.asarray(raw_scores(variables, x[:4]))
+    s = np.asarray(raw_scores(variables, x[:4])).astype(np.float64)
     target = 300
     kth = np.sort(s.reshape(s.shape[0], -1), axis=-1)[:, -target].mean()
-    kth = float(np.clip(kth, 1e-7, 1 - 1e-7))
+    kth = float(np.clip(kth, 1e-6, 1 - 1e-6))
     delta = float(np.log(0.25 / 0.75) - np.log(kth / (1 - kth)))
     params = flatten(variables["params"])
-    hidx = head_index(variables["params"])
     for k in list(params):
         if k.startswith(f"{hidx}.cv3.") and k.endswith(".2.bias"):
             params[k] = np.asarray(params[k]) + delta
@@ -82,7 +101,7 @@ def main():
         with fused_inference():
             preds = net.apply(v, im, False)
         dec = decode_inference(preds["one2many"], nc=80)
-        out = non_max_suppression(dec, 0.25, 0.45, nc=80, pre_topk=2048)
+        out = non_max_suppression(dec, 0.25, 0.45, nc=80, pre_topk=512)
         return out
 
     @jax.jit
@@ -102,6 +121,9 @@ def main():
     assert not bool(truncated), (
         "candidate pool overflowed pre_topk — bench would not be exact NMS")
     n_cand = int((np.asarray(raw_scores(variables, x[:4])) > 0.25).sum() / 4)
+    assert 50 <= n_cand <= 2048, (
+        f"calibration produced a degenerate NMS workload ({n_cand} "
+        "candidates/img) — the measured number would be dishonest")
 
     t0 = time.perf_counter()
     chk, _ = run(fused_vars, x)
@@ -112,7 +134,7 @@ def main():
     mfu = ips * GFLOPS_PER_IMG / 1e3 / PEAK_TFLOPS
     print(json.dumps({
         "metric": "images/sec/chip YOLOv8s-640 predict (batch 32, bf16, "
-                  "fused conv+BN, incl. decode + exact greedy NMS "
+                  "fused conv+BN, incl. decode + exact(flagged) greedy NMS "
                   f"@ ~{n_cand} candidates/img)",
         "value": round(ips, 2),
         "unit": "images/sec/chip",
