@@ -1,0 +1,91 @@
+"""Pallas conv3x3 kernel correctness (interpret mode on CPU) + routing."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from yolosharp_tpu.kernels.conv3x3 import conv3x3_silu, eligible
+
+
+def _xla_ref(x, w, b, act):
+    y = jax.lax.conv_general_dilated(
+        x.astype(jnp.float32), w.astype(jnp.float32), (1, 1),
+        ((1, 1), (1, 1)), dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    y = y + b.astype(jnp.float32)
+    if act == "silu":
+        y = y * jax.nn.sigmoid(y)
+    elif act == "relu":
+        y = jnp.maximum(y, 0.0)
+    return y
+
+
+@pytest.mark.parametrize("shape,act", [
+    ((2, 16, 24, 8, 16), "silu"),
+    ((1, 24, 16, 16, 8), "identity"),
+    ((1, 16, 16, 8, 8), "relu"),
+])
+def test_conv3x3_matches_xla(shape, act):
+    B, H, W, Ci, Co = shape
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((B, H, W, Ci)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, Ci, Co)) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.standard_normal((Co,)) * 0.1, jnp.float32)
+    ref = np.asarray(_xla_ref(x, w, b, act))
+    out = np.asarray(conv3x3_silu(x, w, b, act=act, interpret=True))
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-4)
+
+
+def test_conv3x3_bf16_tolerance():
+    rng = np.random.default_rng(1)
+    B, H, W, Ci, Co = 1, 80, 80, 32, 32
+    x = jnp.asarray(rng.standard_normal((B, H, W, Ci)), jnp.bfloat16)
+    w = jnp.asarray(rng.standard_normal((3, 3, Ci, Co)) * 0.05, jnp.bfloat16)
+    b = jnp.asarray(rng.standard_normal((Co,)) * 0.1, jnp.bfloat16)
+    ref = np.asarray(_xla_ref(x, w, b, "silu"))
+    out = np.asarray(conv3x3_silu(x, w, b, interpret=True),
+                     dtype=np.float32)
+    rel = np.abs(out - ref).max() / (np.abs(ref).max() + 1e-6)
+    assert rel < 0.01, rel
+
+
+def test_eligibility_predicate():
+    # the hot v8s-640 shapes route to the kernel
+    assert eligible(3, 1, 1, 1, 160, 160, 64, 32)
+    assert eligible(3, 1, 1, 1, 80, 80, 128, 64)
+    # strided / 1x1 / grouped / tiny-resolution convs stay on XLA
+    assert not eligible(3, 2, 1, 1, 320, 320, 32, 64)
+    assert not eligible(1, 1, 1, 1, 160, 160, 64, 64)
+    assert not eligible(3, 1, 1, 2, 160, 160, 64, 64)
+    assert not eligible(3, 1, 1, 1, 40, 40, 256, 256)
+    # stem at 640 exceeds the VMEM image budget
+    assert not eligible(3, 1, 1, 1, 640, 640, 64, 64)
+
+
+def test_conv2d_routes_under_context():
+    """Conv2d picks the kernel only under pallas_conv() and same result."""
+    from yolosharp_tpu.kernels import conv3x3 as mod
+    from yolosharp_tpu.nn.common import Conv2d, pallas_conv
+
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((1, 80, 80, 32)), jnp.float32)
+    m = Conv2d(32, 3, 1, use_bias=False)
+    v = m.init(jax.random.PRNGKey(0), x)
+    base = np.asarray(m.apply(v, x))
+
+    calls = {"n": 0}
+    orig = mod.conv3x3_silu
+
+    def spy(*a, **kw):
+        calls["n"] += 1
+        kw["interpret"] = True   # CPU test host: run the kernel emulated
+        return orig(*a, **kw)
+
+    mod.conv3x3_silu = spy
+    try:
+        with pallas_conv(True):
+            routed = np.asarray(m.apply(v, x))
+    finally:
+        mod.conv3x3_silu = orig
+    assert calls["n"] == 1
+    np.testing.assert_allclose(routed, base, atol=2e-5, rtol=1e-4)

@@ -91,6 +91,11 @@ class Config:
     # forward on TPU because eval-BN's per-channel affine otherwise breaks
     # XLA's conv layout chain with full-tensor copies.
     fuse_inference: bool = True
+    # Route eligible 3x3/s1 convs to the Pallas im2col kernel during
+    # fused-inference predict on TPU (kernels/conv3x3.py) — XLA runs the
+    # early small-channel convs at 2-5% MFU; the kernel is 3-7x faster
+    # there. No effect on CPU or training.
+    pallas_conv: bool = True
     # Render train augmentations (mosaic+perspective+flips+HSV) on device
     # as one jitted program (data/device_augment.py) instead of per-sample
     # host cv2. Labels keep the exact host math. Falls back to the host

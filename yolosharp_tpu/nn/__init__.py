@@ -1,5 +1,8 @@
-from .common import FoldedBN, fused_inference, fused_inference_active
+from .common import (FoldedBN, fused_inference,
+                     fused_inference_active, pallas_conv,
+                     pallas_conv_active)
 from .model import ArchCfg, YoloNet, build_arch, feat_shapes, STRIDES
 
 __all__ = ["ArchCfg", "YoloNet", "build_arch", "feat_shapes", "STRIDES",
-           "FoldedBN", "fused_inference", "fused_inference_active"]
+           "FoldedBN", "fused_inference", "fused_inference_active",
+           "pallas_conv", "pallas_conv_active"]

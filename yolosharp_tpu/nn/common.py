@@ -116,6 +116,28 @@ def batch_norm(y, train: bool, name: str = "bn"):
                         epsilon=1e-3, dtype=y.dtype, name=name)(y)
 
 
+# ---------------------------------------------------------------------------
+# Pallas conv routing (TPU inference): the early small-channel 3x3 convs
+# run at 2-5% MFU under XLA's layout choices; kernels/conv3x3.py is 3-7x
+# faster there. Routed only under fused_inference() (predict) when active.
+
+_PALLAS_CONV = threading.local()
+
+
+def pallas_conv_active() -> bool:
+    return getattr(_PALLAS_CONV, "on", False)
+
+
+@contextlib.contextmanager
+def pallas_conv(enable: bool = True):
+    prev = pallas_conv_active()
+    _PALLAS_CONV.on = enable
+    try:
+        yield
+    finally:
+        _PALLAS_CONV.on = prev
+
+
 class Conv2d(nn.Module):
     """Bare torch-style conv (NHWC). Named leaf params: kernel[, bias]."""
 
@@ -133,6 +155,20 @@ class Conv2d(nn.Module):
         c1 = x.shape[-1]
         kernel = self.param(
             "kernel", torch_kernel_init, (self.k, self.k, c1 // self.g, self.c2))
+        if (pallas_conv_active() and p == 1 and len(x.shape) == 4):
+            from ..kernels.conv3x3 import conv3x3_silu, eligible
+
+            if eligible(self.k, self.s, self.d, self.g, x.shape[1],
+                        x.shape[2], c1, self.c2):
+                y = conv3x3_silu(x, kernel.astype(x.dtype),
+                                 jnp.zeros((self.c2,), x.dtype),
+                                 act="identity")
+                if self.use_bias:
+                    fan_in = self.k * self.k * (c1 // self.g)
+                    bias = self.param("bias", torch_bias_init(fan_in),
+                                      (self.c2,))
+                    y = y + bias.astype(y.dtype)
+                return y
         y = jax.lax.conv_general_dilated(
             x, kernel.astype(x.dtype),
             window_strides=(self.s, self.s),

@@ -102,9 +102,13 @@ class BaseTask:
         """Eval-mode forward honouring Config.fuse_inference (call only
         with variables from _predict_variables when fusing)."""
         if self.config.fuse_inference:
-            from .nn import fused_inference
+            from .nn import fused_inference, pallas_conv
 
-            with fused_inference():
+            # the Pallas small-channel conv kernel only pays off (and is
+            # only tuned) on real TPU hardware
+            use_pallas = (self.config.pallas_conv
+                          and jax.default_backend() == "tpu")
+            with fused_inference(), pallas_conv(use_pallas):
                 return self.net.apply(variables, images, False)
         return self.net.apply(variables, images, False)
 
