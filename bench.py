@@ -40,7 +40,8 @@ def main():
 
     from yolosharp_tpu.ckpt.fuse import bias_init, fold_bn
     from yolosharp_tpu.ckpt.mapping import flatten, head_index, unflatten
-    from yolosharp_tpu.nn import ArchCfg, YoloNet, fused_inference
+    from yolosharp_tpu.nn import (ArchCfg, YoloNet, fused_inference,
+                              pallas_conv)
     from yolosharp_tpu.ops.nms import non_max_suppression
     from yolosharp_tpu.predict import decode_inference
 
@@ -97,8 +98,10 @@ def main():
     fused_vars = jax.device_put(fold_bn(variables))
 
     # ---- the measured program
+    use_pallas = jax.default_backend() == "tpu"
+
     def predict(v, im):
-        with fused_inference():
+        with fused_inference(), pallas_conv(use_pallas):
             preds = net.apply(v, im, False)
         dec = decode_inference(preds["one2many"], nc=80)
         out = non_max_suppression(dec, 0.25, 0.45, nc=80, pre_topk=512)

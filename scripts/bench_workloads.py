@@ -82,7 +82,8 @@ def synth_batch(rng, b, imgsz, m=8, nc=8, extra=None):
 
 def w1_v5n_single_predict():
     from yolosharp_tpu.ckpt.fuse import fold_bn
-    from yolosharp_tpu.nn import ArchCfg, YoloNet, fused_inference
+    from yolosharp_tpu.nn import (ArchCfg, YoloNet, fused_inference,
+                                  pallas_conv)
     from yolosharp_tpu.ops.nms import non_max_suppression
     from yolosharp_tpu.predict import decode_inference
 
@@ -96,7 +97,7 @@ def w1_v5n_single_predict():
     x = jax.random.uniform(key, (1, 640, 640, 3), jnp.bfloat16)
 
     def predict(im):
-        with fused_inference():
+        with fused_inference(), pallas_conv(jax.default_backend() == "tpu"):
             p = net.apply(fused, im, False)
         dec = decode_inference(p["one2many"], nc=80)
         return non_max_suppression(dec, 0.25, 0.45, nc=80,
@@ -110,7 +111,8 @@ def w1_v5n_single_predict():
 def w2_v8s_batch32():
     # identical program to bench.py but without the calibration preamble
     from yolosharp_tpu.ckpt.fuse import fold_bn
-    from yolosharp_tpu.nn import ArchCfg, YoloNet, fused_inference
+    from yolosharp_tpu.nn import (ArchCfg, YoloNet, fused_inference,
+                                  pallas_conv)
     from yolosharp_tpu.ops.nms import non_max_suppression
     from yolosharp_tpu.predict import decode_inference
 
@@ -124,11 +126,11 @@ def w2_v8s_batch32():
     x = jax.random.uniform(key, (32, 640, 640, 3), jnp.bfloat16)
 
     def predict(im):
-        with fused_inference():
+        with fused_inference(), pallas_conv(jax.default_backend() == "tpu"):
             p = net.apply(fused, im, False)
         dec = decode_inference(p["one2many"], nc=80)
         return non_max_suppression(dec, 0.25, 0.45, nc=80,
-                                   pre_topk=2048).scores
+                                   pre_topk=512).scores
 
     dt = scan_bench(predict, x)
     emit(2, "YOLOv8s-640 batch-32 predict throughput (fwd+decode+NMS)",
