@@ -53,8 +53,7 @@ def test_eligibility_predicate():
     # the hot v8s-640 shapes route to the kernel
     assert eligible(3, 1, 1, 1, 160, 160, 64, 32)
     assert eligible(3, 1, 1, 1, 80, 80, 128, 64)
-    # strided / 1x1 / grouped / tiny-resolution convs stay on XLA
-    assert not eligible(3, 2, 1, 1, 320, 320, 32, 64)
+    # 1x1 / grouped / tiny-resolution convs stay on XLA
     assert not eligible(1, 1, 1, 1, 160, 160, 64, 64)
     assert not eligible(3, 1, 1, 2, 160, 160, 64, 64)
     assert not eligible(3, 1, 1, 1, 40, 40, 256, 256)
@@ -89,3 +88,30 @@ def test_conv2d_routes_under_context():
         mod.conv3x3_silu = orig
     assert calls["n"] == 1
     np.testing.assert_allclose(routed, base, atol=2e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("shape", [(2, 32, 48, 8, 16), (1, 64, 64, 32, 64)])
+def test_conv3x3s2_matches_xla(shape):
+    from yolosharp_tpu.kernels.conv3x3 import conv3x3s2_silu
+
+    B, H, W, Ci, Co = shape
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((B, H, W, Ci)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, Ci, Co)) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.standard_normal((Co,)) * 0.1, jnp.float32)
+    ref = jax.lax.conv_general_dilated(
+        x, w, (2, 2), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) + b
+    ref = ref * jax.nn.sigmoid(ref)
+    out = conv3x3s2_silu(x, w, b, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_eligibility_s2():
+    # conv1 (320², 32->64) and l3 (160², 64->128) route; the 3-channel
+    # stem and deep small-res convs do not
+    assert eligible(3, 2, 1, 1, 320, 320, 32, 64)
+    assert eligible(3, 2, 1, 1, 160, 160, 64, 128)
+    assert not eligible(3, 2, 1, 1, 640, 640, 3, 32)
+    assert not eligible(3, 2, 1, 1, 80, 80, 128, 256)

@@ -156,13 +156,15 @@ class Conv2d(nn.Module):
         kernel = self.param(
             "kernel", torch_kernel_init, (self.k, self.k, c1 // self.g, self.c2))
         if (pallas_conv_active() and p == 1 and len(x.shape) == 4):
-            from ..kernels.conv3x3 import conv3x3_silu, eligible
+            from ..kernels.conv3x3 import (conv3x3_silu, conv3x3s2_silu,
+                                           eligible)
 
             if eligible(self.k, self.s, self.d, self.g, x.shape[1],
                         x.shape[2], c1, self.c2):
-                y = conv3x3_silu(x, kernel.astype(x.dtype),
-                                 jnp.zeros((self.c2,), x.dtype),
-                                 act="identity")
+                kfn = conv3x3_silu if self.s == 1 else conv3x3s2_silu
+                y = kfn(x, kernel.astype(x.dtype),
+                        jnp.zeros((self.c2,), x.dtype),
+                        act="identity")
                 if self.use_bias:
                     fan_in = self.k * self.k * (c1 // self.g)
                     bias = self.param("bias", torch_bias_init(fan_in),
