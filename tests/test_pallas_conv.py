@@ -57,8 +57,8 @@ def test_eligibility_predicate():
     assert not eligible(1, 1, 1, 1, 160, 160, 64, 64)
     assert not eligible(3, 1, 1, 2, 160, 160, 64, 64)
     assert not eligible(3, 1, 1, 1, 40, 40, 256, 256)
-    # stem at 640 exceeds the VMEM image budget
-    assert not eligible(3, 1, 1, 1, 640, 640, 64, 64)
+    # streaming row blocks: 640² stride-1 is fine (VMEM per step is small)
+    assert eligible(3, 1, 1, 1, 640, 640, 64, 64)
 
 
 def test_conv2d_routes_under_context():
@@ -113,5 +113,23 @@ def test_eligibility_s2():
     # stem and deep small-res convs do not
     assert eligible(3, 2, 1, 1, 320, 320, 32, 64)
     assert eligible(3, 2, 1, 1, 160, 160, 64, 128)
-    assert not eligible(3, 2, 1, 1, 640, 640, 3, 32)
+    # the 3-channel stem routes via channel zero-padding
+    assert eligible(3, 2, 1, 1, 640, 640, 3, 32)
     assert not eligible(3, 2, 1, 1, 80, 80, 128, 256)
+
+
+def test_conv3x3s2_stem_channels():
+    """3-channel stride-2 stem routes through the channel-padding path."""
+    from yolosharp_tpu.kernels.conv3x3 import conv3x3s2_silu
+
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((1, 64, 64, 3)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, 3, 16)) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.standard_normal((16,)) * 0.1, jnp.float32)
+    ref = jax.lax.conv_general_dilated(
+        x, w, (2, 2), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) + b
+    ref = ref * jax.nn.sigmoid(ref)
+    out = conv3x3s2_silu(x, w, b, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
