@@ -58,18 +58,24 @@ def test_resume_roundtrip(tmp_path):
 
 def test_dynamic_loss_scale_semantics():
     """fp16 AMP shim (Amp.cs:94-135): scale halves on a non-finite step
-    (params untouched) and doubles after the growth interval."""
-    cfg = ArchCfg(version="v8", size="n", task="detect", nc=4)
-    net = YoloNet(cfg)
-    variables = net.init(jax.random.PRNGKey(0),
-                         jnp.zeros((1, 64, 64, 3), jnp.float32), False)
+    (params untouched) and doubles after the growth interval. Uses a tiny
+    conv net — the semantics live in make_train_step, not the model."""
+    from flax import linen as fnn
 
-    calls = {"n": 0}
+    class Tiny(fnn.Module):
+        @fnn.compact
+        def __call__(self, x, train=False):
+            y = fnn.Conv(4, (3, 3), name="c")(x)
+            fnn.BatchNorm(use_running_average=not train, name="bn")(y)
+            return y
+
+    net = Tiny()
+    variables = net.init(jax.random.PRNGKey(0),
+                         jnp.zeros((1, 8, 8, 3), jnp.float32), False)
 
     def loss_fn(preds, batch):
-        l = detection_loss(preds["one2many"], batch, nc=4)[0]
-        # second step produces a NaN loss -> non-finite grads
-        return l * batch["poison"], jnp.zeros((3,))
+        # poison turns the loss (and grads) non-finite on demand
+        return jnp.mean(preds ** 2) * batch["poison"], jnp.zeros((3,))
 
     tx = make_optimizer(nc=4, epochs=2, steps_per_epoch=4)
     state = TrainState.create({"params": variables["params"],
@@ -80,10 +86,7 @@ def test_dynamic_loss_scale_semantics():
                            scale_growth_interval=2)
     rng = np.random.default_rng(0)
     batch = {
-        "images": rng.uniform(0, 1, (2, 64, 64, 3)).astype(np.float32),
-        "cls": rng.integers(0, 4, (2, 4)).astype(np.int32),
-        "bboxes": rng.uniform(0.2, 0.6, (2, 4, 4)).astype(np.float32),
-        "mask_gt": np.ones((2, 4), bool),
+        "images": rng.uniform(0, 1, (2, 8, 8, 3)).astype(np.float32),
         "poison": np.float32(1.0),
     }
     p0 = jax.tree_util.tree_leaves(state.params)[0].copy()
