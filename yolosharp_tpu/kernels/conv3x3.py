@@ -70,13 +70,15 @@ def _kernel_s1(xa_ref, xb_ref, w_ref, b_ref, o_ref, *, R: int, W: int,
 @functools.partial(jax.jit, static_argnames=("act", "rows_per_tile",
                                              "interpret"))
 def conv3x3_silu(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
-                 act: str = "silu", rows_per_tile: int = 8,
+                 act: str = "silu", rows_per_tile: int = 0,
                  interpret: bool = False) -> jnp.ndarray:
     """Fused 3x3/s1/SAME conv + bias + activation. x: (B, H, W, Ci) NHWC,
     w: (3, 3, Ci, Co) HWIO, b: (Co,). Returns (B, H, W, Co)."""
     B, H, W, Ci = x.shape
     Co = w.shape[-1]
-    R = rows_per_tile
+    # bigger tiles amortize per-grid-step overhead (measured dominant at
+    # R=8); pick the largest of 32/16/8 that divides H
+    R = rows_per_tile or next(r for r in (32, 16, 8) if H % r == 0)
     assert H % R == 0, (H, R)
     Wp = W + 2
     T = H // R
@@ -135,7 +137,7 @@ def _kernel_s2(xee_a, xee_b, xeo_a, xeo_b, xoe_a, xoe_b, xoo_a, xoo_b,
 @functools.partial(jax.jit, static_argnames=("act", "rows_per_tile",
                                              "interpret"))
 def conv3x3s2_silu(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
-                   act: str = "silu", rows_per_tile: int = 8,
+                   act: str = "silu", rows_per_tile: int = 0,
                    interpret: bool = False) -> jnp.ndarray:
     """Fused 3x3/s2/SAME conv + bias + activation. x: (B, H, W, Ci) with
     even H, W; w: (3, 3, Ci, Co); b: (Co,). Returns (B, H/2, W/2, Co)."""
@@ -143,7 +145,7 @@ def conv3x3s2_silu(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
     Co = w.shape[-1]
     Ho, Wo = H // 2, W // 2
     Wh = Wo + 1
-    R = rows_per_tile
+    R = rows_per_tile or next(r for r in (32, 16, 8) if Ho % r == 0)
     assert H % 2 == 0 and W % 2 == 0 and Ho % R == 0, (H, W, R)
     dt = x.dtype
     if Ci % 8:   # e.g. the 3-channel stem: zero-pad the contraction
@@ -197,10 +199,15 @@ def eligible(k: int, s: int, d: int, g: int, H: int, W: int, Ci: int,
     resolution, Ci*9 contraction >= 128, smallish Co)."""
     if not (k == 3 and d == 1 and g == 1 and Co >= 8 and Ci >= 3):
         return False
+    # measured on v5e (b32): the kernel wins ~2.3x where XLA collapses
+    # (channel-REDUCING convs at >=160² with Ci<=64, e.g. C2f cv2 64->32:
+    # 1.5 ms vs 3.5 ms); XLA is already fine at Ci>=128 or Co>=Ci there
+    # (6-10 TFLOP/s) and the kernel's grid overhead loses. Route only the
+    # pathological class.
     if s == 1:
-        return (H % 8 == 0 and W % 8 == 0 and H * W >= 80 * 80
-                and Ci % 8 == 0 and Ci <= 128)
+        return (H % 8 == 0 and W % 8 == 0 and H * W >= 160 * 160
+                and Ci % 8 == 0 and Ci <= 64 and Co < Ci)
     if s == 2:
-        return (H % 16 == 0 and W % 16 == 0 and H * W >= 160 * 160
-                and Ci <= 128)
+        return (H % 16 == 0 and W % 16 == 0 and H * W >= 320 * 320
+                and Ci <= 32)
     return False
