@@ -110,14 +110,12 @@ def test_conv3x3s2_matches_xla(shape):
 
 
 def test_eligibility_s2():
-    # conv1 (320², 32->64) and l3 (160², 64->128) route; the 3-channel
-    # stem and deep small-res convs do not
-    assert eligible(3, 2, 1, 1, 320, 320, 32, 64)
-    # the 3-channel stem routes via channel zero-padding
-    assert eligible(3, 2, 1, 1, 640, 640, 3, 32)
-    # wider-channel strided convs: XLA is fine, stay there
+    # stride-2 routing is disabled: measured 5x slower than XLA on v5e
+    # (parity-plane split is relayout-bound); the kernel itself stays
+    # correct and callable.
+    assert not eligible(3, 2, 1, 1, 320, 320, 32, 64)
+    assert not eligible(3, 2, 1, 1, 640, 640, 3, 32)
     assert not eligible(3, 2, 1, 1, 160, 160, 64, 128)
-    assert not eligible(3, 2, 1, 1, 80, 80, 128, 256)
 
 
 def test_conv3x3s2_stem_channels():
