@@ -62,16 +62,20 @@ def test_eligibility_predicate():
     assert not eligible(3, 1, 1, 1, 40, 40, 256, 256)
 
 
-def test_conv2d_routes_under_context():
-    """Conv2d picks the kernel only under pallas_conv() and same result."""
+def test_convbn_routes_under_context():
+    """ConvBN picks the fused kernel only under fused_inference() +
+    pallas_conv(), consuming fold_bn'd params, with identical results."""
+    from yolosharp_tpu.ckpt.fuse import fold_bn
     from yolosharp_tpu.kernels import conv3x3 as mod
-    from yolosharp_tpu.nn.common import Conv2d, pallas_conv
+    from yolosharp_tpu.nn.common import ConvBN, fused_inference, pallas_conv
 
     rng = np.random.default_rng(2)
     x = jnp.asarray(rng.standard_normal((1, 160, 160, 64)), jnp.float32)
-    m = Conv2d(32, 3, 1, use_bias=False)
-    v = m.init(jax.random.PRNGKey(0), x)
-    base = np.asarray(m.apply(v, x))
+    m = ConvBN(32, 3, 1)
+    v = m.init(jax.random.PRNGKey(0), x, False)
+    fused = fold_bn(v)
+    with fused_inference():
+        base = np.asarray(m.apply(fused, x, False))
 
     calls = {"n": 0}
     orig = mod.conv3x3_silu
@@ -83,12 +87,12 @@ def test_conv2d_routes_under_context():
 
     mod.conv3x3_silu = spy
     try:
-        with pallas_conv(True):
-            routed = np.asarray(m.apply(v, x))
+        with fused_inference(), pallas_conv(True):
+            routed = np.asarray(m.apply(fused, x, False))
     finally:
         mod.conv3x3_silu = orig
     assert calls["n"] == 1
-    np.testing.assert_allclose(routed, base, atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(routed, base, atol=2e-4, rtol=1e-3)
 
 
 @pytest.mark.parametrize("shape", [(2, 32, 48, 8, 16), (1, 64, 64, 32, 64)])

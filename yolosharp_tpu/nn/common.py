@@ -155,22 +155,6 @@ class Conv2d(nn.Module):
         c1 = x.shape[-1]
         kernel = self.param(
             "kernel", torch_kernel_init, (self.k, self.k, c1 // self.g, self.c2))
-        if (pallas_conv_active() and p == 1 and len(x.shape) == 4):
-            from ..kernels.conv3x3 import (conv3x3_silu, conv3x3s2_silu,
-                                           eligible)
-
-            if eligible(self.k, self.s, self.d, self.g, x.shape[1],
-                        x.shape[2], c1, self.c2):
-                kfn = conv3x3_silu if self.s == 1 else conv3x3s2_silu
-                y = kfn(x, kernel.astype(x.dtype),
-                        jnp.zeros((self.c2,), x.dtype),
-                        act="identity")
-                if self.use_bias:
-                    fan_in = self.k * self.k * (c1 // self.g)
-                    bias = self.param("bias", torch_bias_init(fan_in),
-                                      (self.c2,))
-                    y = y + bias.astype(y.dtype)
-                return y
         y = jax.lax.conv_general_dilated(
             x, kernel.astype(x.dtype),
             window_strides=(self.s, self.s),
@@ -184,6 +168,28 @@ class Conv2d(nn.Module):
             bias = self.param("bias", torch_bias_init(fan_in), (self.c2,))
             y = y + bias.astype(y.dtype)
         return y
+
+
+class _KernelParam(nn.Module):
+    """Declares (and returns) just the conv kernel leaf — used when the
+    Pallas path consumes the kernel directly but the param tree must stay
+    identical to Conv2d's ("conv.kernel")."""
+
+    shape: Tuple[int, ...]
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", torch_kernel_init, self.shape)
+
+
+class _BiasParam(nn.Module):
+    """Declares just the folded-BN bias leaf ("bn.bias")."""
+
+    c: int
+
+    @nn.compact
+    def __call__(self):
+        return self.param("bias", nn.initializers.zeros, (self.c,))
 
 
 class ConvBN(nn.Module):
@@ -200,6 +206,23 @@ class ConvBN(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        # Pallas fast path (TPU fused inference, fold_bn'd params): conv +
+        # folded-BN bias + activation in one kernel epilogue — avoids both
+        # XLA's pathological small-channel conv and an extra elementwise
+        # pass over the output.
+        if (not train and fused_inference_active() and pallas_conv_active()
+                and not self.use_bias and len(x.shape) == 4
+                and autopad(self.k, self.p, self.d) == self.k // 2):
+            from ..kernels.conv3x3 import conv3x3_silu, eligible
+
+            if eligible(self.k, self.s, self.d, self.g, x.shape[1],
+                        x.shape[2], x.shape[-1], self.c2):
+                kernel = _KernelParam(
+                    (self.k, self.k, x.shape[-1], self.c2),
+                    name="conv")()
+                bias = _BiasParam(self.c2, name="bn")()
+                return conv3x3_silu(x, kernel.astype(x.dtype),
+                                    bias.astype(x.dtype), act=self.act)
         y = Conv2d(self.c2, self.k, self.s, self.p, self.g, self.d,
                    use_bias=self.use_bias, name="conv")(x)
         y = batch_norm(y, train)
