@@ -98,7 +98,9 @@ def main():
     fused_vars = jax.device_put(fold_bn(variables))
 
     # ---- the measured program
-    use_pallas = jax.default_backend() == "tpu"
+    # measured: routing the Pallas conv loses ~2% in-graph (boundary
+    # copies); see Config.pallas_conv
+    use_pallas = False
 
     def predict(v, im):
         with fused_inference(), pallas_conv(use_pallas):

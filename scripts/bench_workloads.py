@@ -97,7 +97,7 @@ def w1_v5n_single_predict():
     x = jax.random.uniform(key, (1, 640, 640, 3), jnp.bfloat16)
 
     def predict(im):
-        with fused_inference(), pallas_conv(jax.default_backend() == "tpu"):
+        with fused_inference(), pallas_conv(False):
             p = net.apply(fused, im, False)
         dec = decode_inference(p["one2many"], nc=80)
         return non_max_suppression(dec, 0.25, 0.45, nc=80,
@@ -126,7 +126,7 @@ def w2_v8s_batch32():
     x = jax.random.uniform(key, (32, 640, 640, 3), jnp.bfloat16)
 
     def predict(im):
-        with fused_inference(), pallas_conv(jax.default_backend() == "tpu"):
+        with fused_inference(), pallas_conv(False):
             p = net.apply(fused, im, False)
         dec = decode_inference(p["one2many"], nc=80)
         return non_max_suppression(dec, 0.25, 0.45, nc=80,

@@ -92,10 +92,13 @@ class Config:
     # XLA's conv layout chain with full-tensor copies.
     fuse_inference: bool = True
     # Route eligible 3x3/s1 convs to the Pallas im2col kernel during
-    # fused-inference predict on TPU (kernels/conv3x3.py) — XLA runs the
-    # early small-channel convs at 2-5% MFU; the kernel is 3-7x faster
-    # there. No effect on CPU or training.
-    pallas_conv: bool = True
+    # fused-inference predict on TPU (kernels/conv3x3.py). Standalone the
+    # kernel is 2.4x faster than XLA on the pathological channel-reducing
+    # high-res convs, but in-graph the pallas_call boundary (pad + junk-
+    # column slice + lost producer fusion) costs the win back: v8s-640 b32
+    # measured 1534 img/s routed vs 1566 unrouted. Off by default; a knob
+    # for other model/hardware mixes.
+    pallas_conv: bool = False
     # Render train augmentations (mosaic+perspective+flips+HSV) on device
     # as one jitted program (data/device_augment.py) instead of per-sample
     # host cv2. Labels keep the exact host math. Falls back to the host

@@ -22,8 +22,14 @@ aligned contiguous slabs.
 VMEM per step is a few hundred KB (blocks are (R*(W+2), Ci) with lanes
 padded to 128) — no whole-image residency, so 640² inputs are fine.
 
-Used by fused-inference predict (nn/common.py routes eligible ConvBN
-calls here); training keeps XLA convs (autodiff + BN stats).
+Measured (v5e, b32): standalone the kernel is 2.4x XLA on its target
+class (64->32 @160²: 1.4 ms vs 3.5 ms; XLA at 1.5 TFLOP/s there), but
+routed inside the full v8s-640 predict the pallas_call boundary (input
+pad copy, junk-column slice, lost producer fusion) costs the win back
+(1534 img/s routed vs 1566 unrouted), and the stride-2 parity-plane
+variant is relayout-bound (5x slower than XLA). Routing is therefore OFF
+by default (Config.pallas_conv); the kernels stay correct, tested, and
+benchmarked as the starting point for other model/hardware mixes.
 """
 
 from __future__ import annotations
