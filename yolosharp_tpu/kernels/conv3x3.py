@@ -70,7 +70,16 @@ def _kernel_s1(xa_ref, xb_ref, w_ref, b_ref, o_ref, *, R: int, W: int,
     p = jnp.concatenate(taps, axis=1)                        # (R*Wp, 9Ci)
     acc = jax.lax.dot_general(p, w_ref[:], (((1,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32)
-    _epilogue(acc, b_ref, act, o_ref)
+    acc = acc + b_ref[:].astype(jnp.float32)[None, :]
+    if act == "silu":
+        acc = acc * jax.nn.sigmoid(acc)
+    elif act == "relu":
+        acc = jnp.maximum(acc, 0.0)
+    # store rows unpadded: the output leaves the kernel already in
+    # (H, W, Co) form — no junk-column slice (an extra HBM pass) outside
+    y = acc.astype(o_ref.dtype)
+    for r in range(R):
+        o_ref[0, r, :, :] = y[r * Wp:r * Wp + W, :]
 
 
 @functools.partial(jax.jit, static_argnames=("act", "rows_per_tile",
@@ -113,13 +122,13 @@ def conv3x3_silu(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
             pl.BlockSpec((Co,), lambda b_, t: (0,),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, R * Wp, Co), lambda b_, t: (b_, t, 0),
+        out_specs=pl.BlockSpec((1, R, W, Co),
+                               lambda b_, t: (b_, t, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, H * Wp, Co), dt),
+        out_shape=jax.ShapeDtypeStruct((B, H, W, Co), dt),
         interpret=interpret,
     )(x2, x2, w2, b.astype(dt))
-    # drop the 2 junk columns per row introduced by horizontal padding
-    return out.reshape(B, H, Wp, Co)[:, :, :W, :]
+    return out
 
 
 def _kernel_s2(xee_a, xee_b, xeo_a, xeo_b, xoe_a, xoe_b, xoo_a, xoo_b,
