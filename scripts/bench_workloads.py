@@ -165,8 +165,9 @@ def w3_v8n_finetune_loop(imgsz=320, epochs=3):
 
     tx = make_optimizer(nc=80, epochs=epochs, steps_per_epoch=len(dl))
     state = TrainState.create(task._ensure_variables(), tx)
+    # donate=False: the probe reuses `state` across timing phases
     step_fn = make_train_step(task.net, loss_fn,
-                              compute_dtype=cfg.compute_dtype)
+                              compute_dtype=cfg.compute_dtype, donate=False)
 
     # device-step rate: same batch replayed
     jb = None
@@ -181,7 +182,9 @@ def w3_v8n_finetune_loop(imgsz=320, epochs=3):
         for jb in device_prefetch(dl, jax.device_put, depth=2):
             state, loss, _ = step_fn(state, jb, {})
             if t0 is not None:
-                n_img += int(jb["images"].shape[0])
+                # device-augment batches are plan dicts without an
+                # "images" key; the loader pads every batch to batch_size
+                n_img += 16
         float(loss)
         if t0 is None:
             t0 = time.perf_counter()   # start counting after warm epoch
