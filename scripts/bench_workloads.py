@@ -259,7 +259,8 @@ def w5_v12x_e2e_obb():
         "mask_gt": np.ones((4, 8), bool),
     }
     batch = jax.device_put(batch)
-    dt = time_train_steps(step_fn, state, batch, {"gain": 1.0}, n=5)
+    dt = time_train_steps(step_fn, state, batch,
+                      {"o2m_gain": 0.8, "o2o_gain": 1.0}, n=5)
     emit(5, "YOLOv12x-640 End2End OBB train step (batch 4, bf16)",
          dt * 1e3, "ms/step", ips=round(4 / dt, 1))
 
