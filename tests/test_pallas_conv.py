@@ -5,7 +5,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from yolosharp_tpu.kernels.conv3x3 import conv3x3_silu, eligible
+from yolosharp_tpu.kernels.conv3x3 import conv3x3_silu, eligible  # noqa
 
 
 def _xla_ref(x, w, b, act):
@@ -137,3 +137,62 @@ def test_conv3x3s2_stem_channels():
     out = conv3x3s2_silu(x, w, b, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-5, rtol=1e-4)
+
+
+def test_c2f_fused_kernel_matches_module():
+    """Fused C2f kernel == folded C2f module output (interpret mode)."""
+    import jax.tree_util as jtu
+
+    from yolosharp_tpu.ckpt.fuse import fold_bn
+    from yolosharp_tpu.kernels import c2f as mod
+    from yolosharp_tpu.nn.common import C2f, fused_inference, pallas_conv
+
+    rng = np.random.default_rng(1)
+    m = C2f(64, 1, True)
+    x = jnp.asarray(rng.standard_normal((1, 32, 40, 64)) * 0.5,
+                    jnp.float32)
+    v = m.init(jax.random.PRNGKey(0), x, False)
+
+    def jit_(path, val):
+        n = path[-1].key
+        if n == "mean":
+            return val + 0.03
+        if n == "var":
+            return val * 1.2 + 0.01
+        return val
+
+    v = dict(v)
+    v["batch_stats"] = jtu.tree_map_with_path(jit_, v["batch_stats"])
+    fv = fold_bn(v)
+    with fused_inference():
+        ref = np.asarray(m.apply(fv, x, False))
+
+    calls = {"n": 0}
+    orig, orig_el = mod.c2f_fused, mod.c2f_eligible
+
+    def spy(*a, **kw):
+        calls["n"] += 1
+        kw["interpret"] = True
+        return orig(*a, **kw)
+
+    mod.c2f_fused = spy
+    mod.c2f_eligible = lambda *a: True   # test shape is below the real bar
+    try:
+        with fused_inference(), pallas_conv(True):
+            routed = np.asarray(m.apply(fv, x, False))
+    finally:
+        mod.c2f_fused = orig
+        mod.c2f_eligible = orig_el
+    assert calls["n"] == 1
+    np.testing.assert_allclose(routed, ref, atol=1e-6)
+
+
+def test_c2f_eligibility():
+    from yolosharp_tpu.kernels.c2f import c2f_eligible
+
+    # v8s layer-2 shape routes
+    assert c2f_eligible(1, True, 1, 160, 160, 32, 64)
+    # n>1 / no-shortcut / low-res / wide blocks stay on XLA
+    assert not c2f_eligible(2, True, 1, 160, 160, 32, 64)
+    assert not c2f_eligible(1, False, 1, 160, 160, 32, 64)
+    assert not c2f_eligible(1, True, 1, 80, 80, 64, 128)

@@ -578,6 +578,36 @@ class C2(nn.Module):
         return ConvBN(self.c2, 1, name="cv2")(jnp.concatenate([a, b], -1), train)
 
 
+class _ConvBNParams(nn.Module):
+    """Declares a folded ConvBN's leaves (conv.kernel + bn.bias) without
+    running it — the fused-block Pallas path consumes them directly while
+    the param tree stays identical to the unfused modules'."""
+
+    kshape: Tuple[int, ...]
+    c2: int
+
+    @nn.compact
+    def __call__(self):
+        k = _KernelParam(self.kshape, name="conv")()
+        b = _BiasParam(self.c2, name="bn")()
+        return k, b
+
+
+class _BottleneckParams(nn.Module):
+    """Folded-param holder matching Bottleneck's tree (cv1 + cv2)."""
+
+    cin: int
+    c: int
+
+    @nn.compact
+    def __call__(self):
+        k1, b1 = _ConvBNParams((3, 3, self.cin, self.c), self.c,
+                               name="cv1")()
+        k2, b2 = _ConvBNParams((3, 3, self.c, self.c), self.c,
+                               name="cv2")()
+        return k1, b1, k2, b2
+
+
 class C2f(nn.Module):
     """Fast CSP bottleneck with n cascaded splits. Block.cs:371-399."""
 
@@ -590,6 +620,23 @@ class C2f(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         c = int(self.c2 * self.e)
+        if (not train and fused_inference_active() and pallas_conv_active()
+                and len(x.shape) == 4):
+            from ..kernels.c2f import c2f_eligible, c2f_fused
+
+            if c2f_eligible(self.n, self.shortcut, self.g, x.shape[1],
+                            x.shape[2], c, self.c2):
+                cin = x.shape[-1]
+                w1, b1 = _ConvBNParams((1, 1, cin, 2 * c), 2 * c,
+                                       name="cv1")()
+                wm1, bm1, wm2, bm2 = _BottleneckParams(c, c, name="m.0")()
+                w2, b2 = _ConvBNParams((1, 1, 3 * c, self.c2), self.c2,
+                                       name="cv2")()
+                dt = x.dtype
+                return c2f_fused(x, w1.astype(dt), b1.astype(dt),
+                                 wm1.astype(dt), bm1.astype(dt),
+                                 wm2.astype(dt), bm2.astype(dt),
+                                 w2.astype(dt), b2.astype(dt))
         y = list(jnp.split(ConvBN(2 * c, 1, 1, name="cv1")(x, train), 2, axis=-1))
         for i in range(self.n):
             # NOTE: e=1.0 matches the reference's C# argument-order quirk
