@@ -30,11 +30,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(xa, xb, w1, b1, wm1, bm1, wm2, bm2, w2, b2, o_ref, *,
-            R: int, W: int, H: int, Cin: int, c: int, C2: int):
+def _kernel(xa, xb, w1, b1, wm1, bm1, wm2, bm2, w2, b2, o_ref,
+            scr1, scr2, *, R: int, W: int, H: int, Cin: int, c: int,
+            C2: int):
     Wp4 = W + 4
     t = pl.program_id(1)
     n_rows = (R + 4) * Wp4
+    pad = Wp4 + 1
 
     # the (R+4)-row window: block A + the first 4 rows of block B
     slab = jnp.concatenate(
@@ -55,21 +57,25 @@ def _kernel(xa, xb, w1, b1, wm1, bm1, wm2, bm2, w2, b2, o_ref, *,
         acc = acc + b[:].astype(jnp.float32)[None, :]
         return acc * jax.nn.sigmoid(acc)
 
-    def conv3x3(v, w, b):
-        """3x3/s1 conv of a masked flat value; taps are static slices of
-        the zero-extended value (offset di*Wp4 + dj into a +-(Wp4+1)
-        zero border)."""
-        vp = jnp.pad(v, ((Wp4 + 1, Wp4 + 1), (0, 0)))
-        taps = [jax.lax.slice(vp, (di * Wp4 + dj, 0),
-                              (di * Wp4 + dj + n_rows, v.shape[1]))
+    def conv3x3(scr, v, w, b):
+        """3x3/s1 conv of a masked flat value. The value is staged in a
+        zero-bordered VMEM scratch so the 9 taps are plain ref slices
+        (Mosaic cannot lower value-level pad+shift chains)."""
+        @pl.when((pl.program_id(0) == 0) & (t == 0))
+        def _():   # zero the borders once; they are never overwritten
+            scr[pl.ds(0, pad), :] = jnp.zeros((pad, c), v.dtype)
+            scr[pl.ds(pad + n_rows, pad), :] = jnp.zeros((pad, c), v.dtype)
+
+        scr[pl.ds(pad, n_rows), :] = v
+        taps = [scr[pl.ds(di * Wp4 + dj, n_rows), :]
                 for di in range(3) for dj in range(3)]
         return silu(dot(jnp.concatenate(taps, axis=1), w), b)
 
     y1 = silu(dot(slab, w1), b1).astype(slab.dtype)       # (N, 2c)
     a_half = y1[:, :c]
     b_half = y1[:, c:] * mask
-    tt = conv3x3(b_half, wm1, bm1).astype(slab.dtype) * mask
-    u = conv3x3(tt, wm2, bm2).astype(slab.dtype)
+    tt = conv3x3(scr1, b_half, wm1, bm1).astype(slab.dtype) * mask
+    u = conv3x3(scr2, tt, wm2, bm2).astype(slab.dtype)
     z = b_half + u                                         # residual
     cat = jnp.concatenate([a_half, b_half, z], axis=1)     # (N, 3c)
     out = silu(dot(cat, w2), b2).astype(o_ref.dtype)       # (N, C2)
@@ -126,6 +132,10 @@ def c2f_fused(x, w1, b1, wm1, bm1, wm2, bm2, w2, b2,
         out_specs=pl.BlockSpec((1, R, W, C2), lambda b_, t: (b_, t, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, H, W, C2), dt),
+        scratch_shapes=[
+            pltpu.VMEM(((R + 4) * Wp4 + 2 * (Wp4 + 1), c), dt),
+            pltpu.VMEM(((R + 4) * Wp4 + 2 * (Wp4 + 1), c), dt),
+        ],
         interpret=interpret,
     )(x2, x2, w1.astype(dt), b1.astype(dt), wm1.astype(dt),
       bm1.astype(dt), wm2.astype(dt), bm2.astype(dt), w2.astype(dt),
