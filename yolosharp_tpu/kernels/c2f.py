@@ -31,16 +31,21 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(xa, xb, w1, b1, wm1, bm1, wm2, bm2, w2, b2, o_ref,
-            scr1, scr2, *, R: int, W: int, H: int, Cin: int, c: int,
-            C2: int):
+            scr0, scr1, scr2, pscr, *, R: int, W: int, H: int, Cin: int,
+            c: int, C2: int):
     Wp4 = W + 4
     t = pl.program_id(1)
     n_rows = (R + 4) * Wp4
-    pad = Wp4 + 1
+    # scratch border: >= Wp4+1 zeros, 8-aligned (sublane store alignment)
+    pad = (Wp4 + 1 + 7) // 8 * 8
+    off = pad - Wp4 - 1   # tap base shift inside the border
 
-    # the (R+4)-row window: block A + the first 4 rows of block B
-    slab = jnp.concatenate(
-        [xa[0, :, :], xb[0, pl.ds(0, 4 * Wp4), :]], axis=0)
+    # the (R+4)-row window (block A + the first 4 rows of block B) staged
+    # through scratch at 8-aligned offsets (sublane-dim ref concat is not
+    # lowerable)
+    scr0[pl.ds(0, R * Wp4), :] = xa[0, :, :]
+    scr0[pl.ds(R * Wp4, 4 * Wp4), :] = xb[0, pl.ds(0, 4 * Wp4), :]
+    slab = scr0[pl.ds(0, n_rows), :]
 
     # validity mask of each flat position (real image vs pad ring)
     iota = jax.lax.broadcasted_iota(jnp.int32, (n_rows, 1), 0)
@@ -57,7 +62,7 @@ def _kernel(xa, xb, w1, b1, wm1, bm1, wm2, bm2, w2, b2, o_ref,
         acc = acc + b[:].astype(jnp.float32)[None, :]
         return acc * jax.nn.sigmoid(acc)
 
-    def conv3x3(scr, v, w, b):
+    def conv3x3(scr, pscr, v, w, b):
         """3x3/s1 conv of a masked flat value. The value is staged in a
         zero-bordered VMEM scratch so the 9 taps are plain ref slices
         (Mosaic cannot lower value-level pad+shift chains)."""
@@ -67,15 +72,20 @@ def _kernel(xa, xb, w1, b1, wm1, bm1, wm2, bm2, w2, b2, o_ref,
             scr[pl.ds(pad + n_rows, pad), :] = jnp.zeros((pad, c), v.dtype)
 
         scr[pl.ds(pad, n_rows), :] = v
-        taps = [scr[pl.ds(di * Wp4 + dj, n_rows), :]
-                for di in range(3) for dj in range(3)]
-        return silu(dot(jnp.concatenate(taps, axis=1), w), b)
+        # assemble the (N, 9c) im2col matrix in scratch: a lane-dim concat
+        # of slices with differing sublane offsets is not lowerable, but
+        # per-column-block stores are
+        for i, (di, dj) in enumerate((di, dj) for di in range(3)
+                                     for dj in range(3)):
+            pscr[pl.ds(0, n_rows), i * c:(i + 1) * c] = \
+                scr[pl.ds(off + di * Wp4 + dj, n_rows), :]
+        return silu(dot(pscr[pl.ds(0, n_rows), :], w), b)
 
     y1 = silu(dot(slab, w1), b1).astype(slab.dtype)       # (N, 2c)
     a_half = y1[:, :c]
     b_half = y1[:, c:] * mask
-    tt = conv3x3(scr1, b_half, wm1, bm1).astype(slab.dtype) * mask
-    u = conv3x3(scr2, tt, wm2, bm2).astype(slab.dtype)
+    tt = conv3x3(scr1, pscr, b_half, wm1, bm1).astype(slab.dtype) * mask
+    u = conv3x3(scr2, pscr, tt, wm2, bm2).astype(slab.dtype)
     z = b_half + u                                         # residual
     cat = jnp.concatenate([a_half, b_half, z], axis=1)     # (N, 3c)
     out = silu(dot(cat, w2), b2).astype(o_ref.dtype)       # (N, C2)
@@ -133,8 +143,10 @@ def c2f_fused(x, w1, b1, wm1, bm1, wm2, bm2, w2, b2,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, H, W, C2), dt),
         scratch_shapes=[
-            pltpu.VMEM(((R + 4) * Wp4 + 2 * (Wp4 + 1), c), dt),
-            pltpu.VMEM(((R + 4) * Wp4 + 2 * (Wp4 + 1), c), dt),
+            pltpu.VMEM(((R + 4) * Wp4, Cin), dt),
+            pltpu.VMEM(((R + 4) * Wp4 + 2 * ((Wp4 + 8) // 8 * 8), c), dt),
+            pltpu.VMEM(((R + 4) * Wp4 + 2 * ((Wp4 + 8) // 8 * 8), c), dt),
+            pltpu.VMEM(((R + 4) * Wp4, 9 * c), dt),
         ],
         interpret=interpret,
     )(x2, x2, w1.astype(dt), b1.astype(dt), wm1.astype(dt),
