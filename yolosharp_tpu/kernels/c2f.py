@@ -18,6 +18,14 @@ silu(folded_bias) != 0 there).
 
 Reference: Block.cs:371-399 (C2f), Block.cs:572-608 (Bottleneck with the
 e=1.0 argument-order quirk).
+
+Measured outcome (v5e, b32, 160²x64): NOT viable — 34 ms vs XLA's ~4.5 ms.
+Mosaic cannot lower a lane-dim concat of slices with differing sublane
+offsets, so the im2col matrix must be assembled through scratch
+column-block stores; those 9 unaligned-read/aligned-store passes per 3x3
+conv dominate everything. Routing stays OFF (Config.pallas_conv=False);
+the kernel is kept as a correct, tested record of the exploration — a
+future Mosaic with strided-concat support would change the math.
 """
 
 from __future__ import annotations
