@@ -237,6 +237,9 @@ def variables_to_state_dict(variables, reg_max: int = 16,
                 put(f"{stem}.weight", np.transpose(val, perm))
             else:
                 put(f"{stem}.weight", val.T)
+        elif leaf == "weight" and val.ndim == 2:
+            # torch-named linear weights stored (in, out) -> save (out, in)
+            put(key, val.T)
         else:
             put(key, val)
     for key, val in stats_flat.items():

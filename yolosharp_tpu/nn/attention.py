@@ -21,7 +21,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .common import C3k, ConvBN, torch_bias_init, torch_kernel_init
+from .common import (C3k, ConvBN, torch_bias_init,
+                     torch_linear_init)
 
 
 class AttentionPSA(nn.Module):
@@ -201,8 +202,9 @@ class TransformerLayer(nn.Module):
 
         def linear(name, use_bias=False):
             def apply(h):
-                kern = self.param(f"{name}.weight", torch_kernel_init,
-                                  (1, 1, h.shape[-1], c))[0, 0]
+                # (in, out) 2-D — transposed torch nn.Linear layout
+                kern = self.param(f"{name}.weight", torch_linear_init,
+                                  (h.shape[-1], c))
                 y = h @ kern
                 if use_bias:
                     y = y + self.param(f"{name}.bias",
@@ -214,8 +216,8 @@ class TransformerLayer(nn.Module):
         k = linear("k")(x)
         v = linear("v")(x)
         # torch MultiheadAttention: extra in/out projections
-        in_w = self.param("ma.in_proj_weight", torch_kernel_init,
-                          (1, 1, c, 3 * c))[0, 0]
+        in_w = self.param("ma.in_proj_weight", torch_linear_init,
+                          (c, 3 * c))
         in_b = self.param("ma.in_proj_bias", nn.initializers.zeros, (3 * c,))
         q = q @ in_w[:, :c] + in_b[:c]
         k = k @ in_w[:, c:2 * c] + in_b[c:2 * c]
@@ -247,8 +249,7 @@ class TransformerBlock(nn.Module):
             x = ConvBN(self.c2, name="conv")(x, train)
         b, h, w, c = x.shape
         p = x.reshape(b, h * w, c)
-        pos_w = self.param("linear.weight", torch_kernel_init,
-                           (1, 1, c, c))[0, 0]
+        pos_w = self.param("linear.weight", torch_linear_init, (c, c))
         pos_b = self.param("linear.bias", torch_bias_init(c), (c,))
         p = p + (p @ pos_w + pos_b)
         for i in range(self.num_layers):

@@ -37,6 +37,12 @@ def torch_kernel_init(key, shape, dtype=jnp.float32):
     return jax.random.uniform(key, shape, dtype, -bound, bound)
 
 
+def torch_linear_init(key, shape, dtype=jnp.float32):
+    """torch.nn.Linear weight init on an (in, out) matrix."""
+    bound = 1.0 / math.sqrt(shape[0]) if shape[0] > 0 else 0.0
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
 def torch_bias_init(fan_in: int) -> Callable:
     bound = 1.0 / math.sqrt(fan_in) if fan_in > 0 else 0.0
 

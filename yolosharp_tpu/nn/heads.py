@@ -201,12 +201,14 @@ class Classify(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Dict:
-        from .common import torch_bias_init, torch_kernel_init
+        from .common import torch_bias_init, torch_linear_init
 
         c_ = 1280
         y = ConvBN(c_, self.k, self.s, name="conv")(x, train)
         y = y.mean(axis=(1, 2))  # AdaptiveAvgPool2d(1) + flatten
-        kern = self.param("linear.weight", torch_kernel_init,
-                          (1, 1, c_, self.c2))[0, 0]
+        # (in, out) 2-D — transposed torch nn.Linear layout (mapping.py
+        # round-trips the transpose for C#-readable .bin files)
+        kern = self.param("linear.weight", torch_linear_init,
+                          (c_, self.c2))
         bias = self.param("linear.bias", torch_bias_init(c_), (self.c2,))
         return {"cls": y @ kern + bias}
