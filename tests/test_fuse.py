@@ -86,6 +86,55 @@ def test_fused_inference_mode_matches_unfused():
                                    rtol=2e-3, atol=2e-3)
 
 
+def test_s2d_repack_exact():
+    """space_to_depth2 + repacked 2x2/s1 kernel == original 3x3/s2 conv
+    (nn/common.py s2d rewrite; reference stem semantics Convs.cs:44-62)."""
+    from yolosharp_tpu.nn.common import repack_s2d_kernel, space_to_depth2
+
+    rng = np.random.default_rng(2)
+    for c_in, c_out, hw in [(3, 16, 64), (16, 32, 32), (3, 8, 10)]:
+        x = jnp.asarray(rng.normal(size=(2, hw, hw, c_in)), jnp.float32)
+        k = jnp.asarray(rng.normal(size=(3, 3, c_in, c_out)), jnp.float32)
+        ref = jax.lax.conv_general_dilated(
+            x, k, (2, 2), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        got = jax.lax.conv_general_dilated(
+            space_to_depth2(x), repack_s2d_kernel(k), (1, 1),
+            ((1, 0), (1, 0)), dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        assert got.shape == ref.shape == (2, hw // 2, hw // 2, c_out)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_s2d_stem_matches_plain_forward():
+    """Full-model fused predict with the s2d stem rewrite == plain eval
+    forward; also with max_cin=64 (rewrites every backbone downsample)."""
+    from yolosharp_tpu.nn import fused_inference
+    from yolosharp_tpu.nn.common import s2d_stride2
+
+    cfg = ArchCfg(version="v8", size="n", task="detect", nc=8)
+    net, variables, _ = _init(cfg)
+    import jax.tree_util as jtu
+
+    variables = dict(variables)
+    variables["batch_stats"] = jtu.tree_map_with_path(
+        lambda p, v: v + 0.1 if p[-1].key == "mean" else v * 1.5 + 0.01,
+        variables["batch_stats"])
+    rng = np.random.default_rng(3)
+    xin = jnp.asarray(rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32))
+    before = net.apply(variables, xin, False)
+    fused_vars = fold_bn(variables)
+    for max_cin in (3, 64):
+        with fused_inference(), s2d_stride2(max_cin):
+            after = net.apply(fused_vars, xin, False)
+        flat_b = jax.tree_util.tree_leaves(before)
+        flat_a = jax.tree_util.tree_leaves(after)
+        assert len(flat_a) == len(flat_b)
+        for a, b in zip(flat_a, flat_b):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-3, atol=2e-3)
+
+
 def test_fused_inference_flag_scoping():
     from yolosharp_tpu.nn import fused_inference, fused_inference_active
 

@@ -99,6 +99,21 @@ class Config:
     # measured 1534 img/s routed vs 1566 unrouted. Off by default; a knob
     # for other model/hardware mixes.
     pallas_conv: bool = False
+    # Space-to-depth rewrite of small-channel stride-2 3x3 convs during
+    # fused-inference predict: exactly equivalent stride-1 2x2 conv over
+    # the 2x2 space-to-depth input (nn/common.py s2d_stride2). Value = max
+    # input channels eligible (3 = stem only, 0 = off). The stem's
+    # 3-channel stride-2 conv is XLA's worst layout case (32/128 lanes);
+    # rewritten it runs at 4x the input channels and half the resolution.
+    s2d_max_cin: int = 3
+    # int8 post-training-quantized predict (v5e int8 MXU ~= 2x bf16 peak).
+    # Requires a calibration pass first: YoloTask.calibrate_int8() records
+    # per-conv activation absmax through the fused predict graph; predict
+    # then runs dense ConvBN convs as symmetric int8 (per-channel weight
+    # scales, int32 accumulation — nn/common.py int8_conv). Head final
+    # convs and decode stay float. Off by default pending per-model
+    # numerics validation (bench.py records box parity vs the bf16 path).
+    int8_predict: bool = False
     # Render train augmentations (mosaic+perspective+flips+HSV) on device
     # as one jitted program (data/device_augment.py) instead of per-sample
     # host cv2. Labels keep the exact host math. Falls back to the host

@@ -144,6 +144,128 @@ def pallas_conv(enable: bool = True):
         _PALLAS_CONV.on = prev
 
 
+# ---------------------------------------------------------------------------
+# Space-to-depth stride-2 conv rewrite (TPU inference): a stride-2 3x3 conv
+# over few channels is *exactly* a stride-1 2x2 conv over the 2x2
+# space-to-depth input (4x the channels, half the resolution) — the kernel
+# repack is a pure weights transform. XLA's layout choice for tiny-channel
+# stride-2 convs uses 32 of 128 lanes (measured: stem+conv1 hold ~3.6 ms of
+# a 20 ms v8s-640 b32 forward); the rewritten conv is stride-1 with 4x the
+# input channels, which tiles onto the MXU far better. Reference stem
+# semantics: Convs.cs:44-62 (Conv k=3 s=2 p=1).
+
+_S2D = threading.local()
+
+
+def s2d_active() -> int:
+    """Max input-channel count eligible for the rewrite (0 = off)."""
+    return getattr(_S2D, "max_cin", 0)
+
+
+@contextlib.contextmanager
+def s2d_stride2(max_cin: int = 3):
+    """Trace-time switch: stride-2 3x3 ConvBNs with c1 <= max_cin are
+    rewritten as space-to-depth + stride-1 2x2 conv (exact, params
+    unchanged). Wrap the traced call like fused_inference()."""
+    prev = s2d_active()
+    _S2D.max_cin = max_cin
+    try:
+        yield
+    finally:
+        _S2D.max_cin = prev
+
+
+def space_to_depth2(x):
+    """(B, H, W, C) -> (B, H/2, W/2, 4C); channel index = (py*2+px)*C + c."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h // 2, w // 2, 4 * c)
+
+
+def repack_s2d_kernel(kernel):
+    """(3, 3, C, O) stride-2 kernel -> equivalent (2, 2, 4C, O) stride-1
+    kernel over the space-to-depth2 input.
+
+    Derivation: output (y, x) of the stride-2 conv reads input rows
+    2y-1..2y+1 = rows {2(y-1+KY)+py : (KY,py) != (0,0)} of the s2d grid
+    window [y-1, y]; i.e. tap (KY, py) maps to original dy = 2*KY+py-2,
+    with (KY,py)=(0,0) falling outside the 3x3 support (zero). Padding one
+    zero row/col at the top-left makes the map a pure reshape/transpose.
+    """
+    c, o = kernel.shape[2], kernel.shape[3]
+    w3p = jnp.pad(kernel, ((1, 0), (1, 0), (0, 0), (0, 0)))
+    w2 = w3p.reshape(2, 2, 2, 2, c, o)          # (KY, py, KX, px, C, O)
+    w2 = w2.transpose(0, 2, 1, 3, 4, 5)         # (KY, KX, py, px, C, O)
+    return w2.reshape(2, 2, 4 * c, o)
+
+
+# ---------------------------------------------------------------------------
+# int8 post-training quantization (TPU inference): v5e's int8 MXU peak is
+# ~2x bf16. ConvBN convs run as symmetric int8 x int8 -> int32 with
+# per-output-channel weight scales and a per-tensor activation scale from
+# calibration; dequant + folded-BN bias + activation stay in the conv
+# epilogue (XLA fuses). Calibration absmax stats live in a flax variable
+# collection "quant_stats" keyed by module path, collected by running
+# eval forwards under quant_calibrate() with that collection mutable.
+# Head final convs are plain Conv2d (never quantized); DFL/decode stay fp.
+
+_QUANT = threading.local()
+
+
+def quant_calibrating() -> bool:
+    return getattr(_QUANT, "calibrating", False)
+
+
+def quant_int8_active() -> bool:
+    return getattr(_QUANT, "int8", False)
+
+
+@contextlib.contextmanager
+def quant_calibrate():
+    """Trace-time switch: eligible ConvBNs sow absmax(input) into the
+    mutable "quant_stats" collection (reduce = running max)."""
+    prev = quant_calibrating()
+    _QUANT.calibrating = True
+    try:
+        yield
+    finally:
+        _QUANT.calibrating = prev
+
+
+@contextlib.contextmanager
+def quant_int8(enable: bool = True):
+    """Trace-time switch: eligible ConvBNs with calibration stats present
+    run as int8 (symmetric, per-channel weights / per-tensor activations,
+    int32 accumulation). Wrap the traced predict call."""
+    prev = quant_int8_active()
+    _QUANT.int8 = enable
+    try:
+        yield
+    finally:
+        _QUANT.int8 = prev
+
+
+def int8_conv(x, kernel, strides, padding, absmax):
+    """Symmetric int8 quantized conv with int32 MXU accumulation.
+
+    x: activations (any float dtype), kernel: (kh, kw, cin, cout) float,
+    absmax: scalar calibrated max|x|. Returns float32 (dequantized).
+    """
+    a_scale = (jnp.maximum(absmax, 1e-6) / 127.0).astype(jnp.float32)
+    w_absmax = jnp.max(jnp.abs(kernel), axis=(0, 1, 2))
+    w_scale = (jnp.maximum(w_absmax, 1e-12) / 127.0).astype(jnp.float32)
+    xq = jnp.clip(jnp.round(x.astype(jnp.float32) / a_scale),
+                  -127, 127).astype(jnp.int8)
+    wq = jnp.clip(jnp.round(kernel.astype(jnp.float32) / w_scale),
+                  -127, 127).astype(jnp.int8)
+    acc = jax.lax.conv_general_dilated(
+        xq, wq, strides, padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32)
+    return acc.astype(jnp.float32) * (a_scale * w_scale)
+
+
 class Conv2d(nn.Module):
     """Bare torch-style conv (NHWC). Named leaf params: kernel[, bias]."""
 
@@ -229,6 +351,49 @@ class ConvBN(nn.Module):
                 bias = _BiasParam(self.c2, name="bn")()
                 return conv3x3_silu(x, kernel.astype(x.dtype),
                                     bias.astype(x.dtype), act=self.act)
+        # space-to-depth rewrite of small-channel stride-2 3x3 convs (exact;
+        # see s2d_stride2 above). Param tree untouched: the (3,3,C,c2)
+        # kernel leaf is repacked to (2,2,4C,c2) inside the traced graph.
+        use_s2d = (not train and fused_inference_active()
+                   and 0 < x.shape[-1] <= s2d_active()
+                   and self.k == 3 and self.s == 2 and self.d == 1
+                   and self.g == 1 and not self.use_bias
+                   and autopad(self.k, self.p, self.d) == 1
+                   and len(x.shape) == 4
+                   and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0)
+        # int8 PTQ eligibility (see quant_int8 above): dense non-dilated
+        # ConvBN convs during fused-inference predict. Calibration sows the
+        # conv-input absmax; predict requires the sown stat to be present.
+        quant_ok = (not train and not self.use_bias and self.g == 1
+                    and self.d == 1 and len(x.shape) == 4
+                    and fused_inference_active())
+        if quant_ok and quant_calibrating():
+            self.sow("quant_stats", "absmax",
+                     jnp.max(jnp.abs(x)).astype(jnp.float32),
+                     reduce_fn=jnp.maximum)
+        use_int8 = (quant_ok and quant_int8_active()
+                    and self.has_variable("quant_stats", "absmax"))
+        if use_s2d or use_int8:
+            kernel = _KernelParam((self.k, self.k, x.shape[-1], self.c2),
+                                  name="conv")()
+            if use_s2d:
+                xin = space_to_depth2(x)
+                keff = repack_s2d_kernel(kernel)
+                strides, padding = (1, 1), ((1, 0), (1, 0))
+            else:
+                p = autopad(self.k, self.p, self.d)
+                xin, keff = x, kernel
+                strides, padding = (self.s, self.s), ((p, p), (p, p))
+            if use_int8:
+                absmax = self.get_variable("quant_stats", "absmax")
+                y = int8_conv(xin, keff, strides, padding,
+                              absmax).astype(x.dtype)
+            else:
+                y = jax.lax.conv_general_dilated(
+                    xin, keff.astype(x.dtype), strides, padding,
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            y = batch_norm(y, train)
+            return ACTS[self.act](y)
         y = Conv2d(self.c2, self.k, self.s, self.p, self.g, self.d,
                    use_bias=self.use_bias, name="conv")(x)
         y = batch_norm(y, train)

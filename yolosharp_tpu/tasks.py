@@ -103,12 +103,14 @@ class BaseTask:
         with variables from _predict_variables when fusing)."""
         if self.config.fuse_inference:
             from .nn import fused_inference, pallas_conv
+            from .nn.common import s2d_stride2
 
             # the Pallas small-channel conv kernel only pays off (and is
             # only tuned) on real TPU hardware
             use_pallas = (self.config.pallas_conv
                           and jax.default_backend() == "tpu")
-            with fused_inference(), pallas_conv(use_pallas):
+            with fused_inference(), pallas_conv(use_pallas), \
+                    s2d_stride2(self.config.s2d_max_cin):
                 return self.net.apply(variables, images, False)
         return self.net.apply(variables, images, False)
 

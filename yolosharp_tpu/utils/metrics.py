@@ -13,7 +13,10 @@ from typing import Tuple
 
 import numpy as np
 
-IOUV = np.linspace(0.5, 0.95, 10)
+# float32 like the reference's torch.linspace (YoloBaseTaskModel.cs:382):
+# the >= threshold comparison at exact boundary IoUs (e.g. 0.9) flips if
+# the thresholds are float64 (0.9f = 0.89999998 < 0.9)
+IOUV = np.linspace(0.5, 0.95, 10).astype(np.float32)
 
 
 def match_predictions(pred_classes: np.ndarray, true_classes: np.ndarray,
@@ -33,27 +36,49 @@ def match_predictions(pred_classes: np.ndarray, true_classes: np.ndarray,
         gt_i, pred_i = np.nonzero(iou >= thr)
         if gt_i.size == 0:
             continue
-        order = np.argsort(-iou[gt_i, pred_i])
+        order = np.argsort(-iou[gt_i, pred_i], kind="stable")
         gt_i, pred_i = gt_i[order], pred_i[order]
-        # unique by prediction column then gt column, keeping first (=best)
+        # GetUniqueByColumn (YoloBaseTaskModel.cs:423-445): keep the first
+        # occurrence of each unique column value, REORDERING rows to
+        # unique-value-ascending order (index_select over firstOccurrence).
+        # Consequence: the pred dedup keeps the highest-IoU gt per pred,
+        # but the subsequent gt dedup — acting on the pred-ascending
+        # reordered rows — keeps the LOWEST-INDEX pred per gt, not the
+        # highest-IoU one. np.unique(return_index) has exactly these
+        # semantics (first occurrence, unique-sorted arrangement).
         _, first = np.unique(pred_i, return_index=True)
-        gt_i, pred_i = gt_i[np.sort(first)], pred_i[np.sort(first)]
+        gt_i, pred_i = gt_i[first], pred_i[first]
         _, first = np.unique(gt_i, return_index=True)
-        pred_i = pred_i[np.sort(first)]
+        pred_i = pred_i[first]
         correct[pred_i, ti] = True
     return correct
 
 
 def interp(x: np.ndarray, xp: np.ndarray, fp: np.ndarray,
            left: float = 0.0) -> np.ndarray:
-    """Linear interpolation with explicit left fill (Metrics.cs:425-470)."""
-    order = np.argsort(xp)
-    return np.interp(x, xp[order], fp[order], left=left, right=fp[order][-1])
+    """Linear interpolation with the reference's boundary semantics
+    (Metrics.cs:425-470): x >= xp[-1] -> fp[-1], then x <= xp[0] -> left
+    (left fill wins on overlap, and — unlike np.interp — applies at
+    x == xp[0] exactly; compute_ap relies on this at recall sentinel 0)."""
+    order = np.argsort(xp, kind="stable")
+    xs, fs = xp[order], fp[order]
+    # interior exactly as the reference: searchsorted(left) - 1, clamped.
+    # NOT np.interp — they differ at x values equal to a DUPLICATED xp
+    # entry (recall plateaus hit the 101-pt grid): the reference lands
+    # t=1 on the FIRST duplicate's fp, np.interp returns the last's.
+    idx = np.clip(np.searchsorted(xs, x, side="left") - 1, 0, len(xs) - 2)
+    x0, x1 = xs[idx], xs[idx + 1]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = np.where(x1 > x0, (x - x0) / np.where(x1 > x0, x1 - x0, 1.0), 1.0)
+    res = fs[idx] + t * (fs[idx + 1] - fs[idx])
+    res = np.where(x >= xs[-1], fs[-1], res)
+    return np.where(x <= xs[0], left, res)
 
 
 def smooth(y: np.ndarray, f: float = 0.05) -> np.ndarray:
-    """Box filter of fraction f (Metrics.cs:475-486)."""
-    nf = int(round(len(y) * f * 2) // 2 * 2 + 1)
+    """Box filter of fraction f (Metrics.cs:475-486; note the reference
+    TRUNCATES len*f*2 before the odd-width fixup)."""
+    nf = int(len(y) * f * 2) // 2 * 2 + 1
     p = np.ones(nf // 2) * y[0]
     yp = np.concatenate([p, y, p])
     return np.convolve(yp, np.ones(nf) / nf, mode="valid")
@@ -66,7 +91,9 @@ def compute_ap(recall: np.ndarray, precision: np.ndarray
     mpre = np.concatenate([[1.0], precision, [0.0]])
     mpre = np.flip(np.maximum.accumulate(np.flip(mpre)))
     x = np.linspace(0, 1, 101)
-    ap = float(np.trapezoid(np.interp(x, mrec, mpre), x))
+    # reference integrand uses its own interp with left=0 (Metrics.cs:417):
+    # the x=0 sample reads the left fill (0), NOT the precision envelope
+    ap = float(np.trapezoid(interp(x, mrec, mpre, left=0.0), x))
     return ap, mpre, mrec
 
 
@@ -99,7 +126,7 @@ def ap_per_class(tp: np.ndarray, conf: np.ndarray, pred_cls: np.ndarray,
         for j in range(tp.shape[1]):
             ap[ci, j], mpre, mrec = compute_ap(recall[:, j], precision[:, j])
             if j == 0:
-                prec_values.append(np.interp(x, mrec, mpre))
+                prec_values.append(interp(x, mrec, mpre, left=0.0))
     if not prec_values:
         prec_values = [np.zeros(1000)]
 
