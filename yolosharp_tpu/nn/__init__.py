@@ -1,8 +1,10 @@
 from .common import (FoldedBN, fused_inference,
                      fused_inference_active, pallas_conv,
-                     pallas_conv_active)
+                     pallas_conv_active, quant_calibrate, quant_int8,
+                     s2d_stride2)
 from .model import ArchCfg, YoloNet, build_arch, feat_shapes, STRIDES
 
 __all__ = ["ArchCfg", "YoloNet", "build_arch", "feat_shapes", "STRIDES",
            "FoldedBN", "fused_inference", "fused_inference_active",
-           "pallas_conv", "pallas_conv_active"]
+           "pallas_conv", "pallas_conv_active", "quant_calibrate",
+           "quant_int8", "s2d_stride2"]

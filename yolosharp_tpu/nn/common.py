@@ -370,7 +370,8 @@ class ConvBN(nn.Module):
         if quant_ok and quant_calibrating():
             self.sow("quant_stats", "absmax",
                      jnp.max(jnp.abs(x)).astype(jnp.float32),
-                     reduce_fn=jnp.maximum)
+                     reduce_fn=jnp.maximum,
+                     init_fn=lambda: jnp.zeros((), jnp.float32))
         use_int8 = (quant_ok and quant_int8_active()
                     and self.has_variable("quant_stats", "absmax"))
         if use_s2d or use_int8:
