@@ -8,8 +8,17 @@ scan (one dispatch for N iterations; immune to host/tunnel latency).
 Honest-workload calibration: with random weights every anchor clears the
 0.25 confidence threshold, which no trained detector produces. The head's
 class bias is shifted once so ~300 anchors/image clear the threshold
-(dense-scene territory for a trained v8s); the NMS runs with a pre_topk=512 candidate pool and the result asserts `truncated == False`,
+(dense-scene territory for a trained v8s); the NMS runs with a
+pre_topk=512 candidate pool and the result asserts `truncated == False`,
 i.e. the measured configuration is *exact* greedy NMS for this workload.
+
+Round-3 configurations measured:
+ - bf16 + space-to-depth stem rewrite (s2d_stride2, exact transform)
+ - int8 PTQ (quant_int8: symmetric per-channel weights / per-tensor
+   calibrated activations, int32 MXU accumulation) + s2d
+The headline number is the FASTEST configuration that passes the box
+parity gate vs the bf16 path (matched-box IoU >= 0.999, same candidate
+statistics); both measurements are reported.
 
 Prints ONE JSON line. vs_baseline is relative to the round-1 recorded
 1110.53 img/s (BENCH_r01.json).
@@ -31,39 +40,35 @@ ITERS = 10
 GFLOPS_PER_IMG = 28.6     # Ultralytics-published v8s-640 forward FLOPs
 PEAK_TFLOPS = 197.0       # TPU v5e bf16 peak
 ROUND1_IPS = 1110.53
+S2D_MAX_CIN = int(os.environ.get("BENCH_S2D", "3"))
+TRY_INT8 = os.environ.get("BENCH_INT8", "1") == "1"
 
 
-def main():
+def build_calibrated_v8s(key, batch=BATCH, imgsz=IMGSZ):
+    """v8s detect net + honest-workload variables (see module docstring).
+    Returns (net, variables, fused_vars, x, n_cand)."""
+    import re as _re
+
     import jax
     import jax.numpy as jnp
     import numpy as np
 
     from yolosharp_tpu.ckpt.fuse import bias_init, fold_bn
     from yolosharp_tpu.ckpt.mapping import flatten, head_index, unflatten
-    from yolosharp_tpu.nn import (ArchCfg, YoloNet, fused_inference,
-                              pallas_conv)
-    from yolosharp_tpu.ops.nms import non_max_suppression
+    from yolosharp_tpu.nn import ArchCfg, YoloNet
     from yolosharp_tpu.predict import decode_inference
 
     cfg = ArchCfg(version="v8", size="s", task="detect", nc=80,
                   end2end=False)
     net = YoloNet(cfg)
-    key = jax.random.PRNGKey(0)
-    x = jax.random.uniform(key, (BATCH, IMGSZ, IMGSZ, 3), jnp.bfloat16)
-    variables = net.init(key, jnp.zeros((1, IMGSZ, IMGSZ, 3), jnp.float32),
+    x = jax.random.uniform(key, (batch, imgsz, imgsz, 3), jnp.bfloat16)
+    variables = net.init(key, jnp.zeros((1, imgsz, imgsz, 3), jnp.float32),
                          False)
     variables = bias_init(variables, 80)
 
-    # ---- make the workload honest: an untrained net's activations decay
-    # to numerical zero by the head (torch init x identity BN stats), so
-    # scores come out spatially constant and the NMS would see a degenerate
-    # all-equal pool. Scale kernels to keep activations alive and
-    # re-randomize the head's final convs so scores/boxes vary per anchor
-    # (same recipe as tests/test_golden_bus_predict.py), THEN shift cls
-    # biases so ~300 anchors/img clear conf 0.25 (dense-scene territory
-    # for a trained v8s).
-    import re as _re
-
+    # untrained nets decay to zero by the head: keep activations alive and
+    # vary scores per anchor (tests/test_golden_bus_predict recipe), then
+    # shift cls biases for ~300 candidates/img at conf 0.25
     params = flatten(variables["params"])
     hidx = head_index(variables["params"])
     prng = np.random.default_rng(3)
@@ -93,59 +98,122 @@ def main():
             params[k] = np.asarray(params[k]) + delta
     variables = dict(variables)
     variables["params"] = unflatten(params, variables["params"])
-    # fold_bn returns host numpy — pin on device or every run() call would
-    # re-upload ~44MB of params
-    fused_vars = jax.device_put(fold_bn(variables))
-
-    # ---- the measured program
-    # measured: routing the Pallas conv loses ~2% in-graph (boundary
-    # copies); see Config.pallas_conv
-    use_pallas = False
-
-    def predict(v, im):
-        with fused_inference(), pallas_conv(use_pallas):
-            preds = net.apply(v, im, False)
-        dec = decode_inference(preds["one2many"], nc=80)
-        out = non_max_suppression(dec, 0.25, 0.45, nc=80, pre_topk=512)
-        return out
-
-    @jax.jit
-    def run(v, im):
-        def step(carry, _):
-            out = predict(v, im + carry.astype(im.dtype) * 1e-12)
-            chk = out.scores.sum().astype(jnp.float32)
-            return chk, out.truncated.any()
-
-        chk, trunc = jax.lax.scan(step, jnp.float32(0.0), None,
-                                  length=ITERS)
-        return chk, trunc.any()
-
-    # compile + warmup + exactness check
-    chk, truncated = run(fused_vars, x)
-    float(chk)
-    assert not bool(truncated), (
-        "candidate pool overflowed pre_topk — bench would not be exact NMS")
     n_cand = int((np.asarray(raw_scores(variables, x[:4])) > 0.25).sum() / 4)
+    fused_vars = jax.device_put(fold_bn(variables))
+    return net, variables, fused_vars, x, n_cand
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from yolosharp_tpu.nn import (fused_inference, pallas_conv,
+                                  quant_calibrate, quant_int8, s2d_stride2)
+    from yolosharp_tpu.ops.nms import non_max_suppression
+    from yolosharp_tpu.predict import decode_inference
+
+    key = jax.random.PRNGKey(0)
+    net, variables, fused_vars, x, n_cand = build_calibrated_v8s(key)
     assert 50 <= n_cand <= 2048, (
         f"calibration produced a degenerate NMS workload ({n_cand} "
         "candidates/img) — the measured number would be dishonest")
 
-    t0 = time.perf_counter()
-    chk, _ = run(fused_vars, x)
-    float(chk)
-    dt = (time.perf_counter() - t0) / ITERS
+    def make_predict(int8):
+        def predict(v, im):
+            with fused_inference(), pallas_conv(False), \
+                    s2d_stride2(S2D_MAX_CIN), quant_int8(int8):
+                preds = net.apply(v, im, False)
+            dec = decode_inference(preds["one2many"], nc=80)
+            return non_max_suppression(dec, 0.25, 0.45, nc=80, pre_topk=512)
+        return predict
 
+    def measure(predict, v):
+        @jax.jit
+        def run(v, im):
+            def step(carry, _):
+                out = predict(v, im + carry.astype(im.dtype) * 1e-12)
+                chk = out.scores.sum().astype(jnp.float32)
+                return chk, out.truncated.any()
+
+            chk, trunc = jax.lax.scan(step, jnp.float32(0.0), None,
+                                      length=ITERS)
+            return chk, trunc.any()
+
+        chk, truncated = run(v, x)      # compile + warmup
+        float(chk)
+        assert not bool(truncated), (
+            "candidate pool overflowed pre_topk — bench would not be "
+            "exact NMS")
+        t0 = time.perf_counter()
+        chk, _ = run(v, x)
+        float(chk)
+        return (time.perf_counter() - t0) / ITERS
+
+    bf16_predict = make_predict(int8=False)
+    dt_bf16 = measure(bf16_predict, fused_vars)
+    result = {"config": f"bf16+s2d{S2D_MAX_CIN}", "dt": dt_bf16}
+    extra = {"bf16_ips": round(BATCH / dt_bf16, 2)}
+
+    if TRY_INT8:
+        # per-workload activation calibration through the measured graph
+        @jax.jit
+        def cal(v, im):
+            with fused_inference(), s2d_stride2(S2D_MAX_CIN), \
+                    quant_calibrate():
+                return net.apply(v, im, False, mutable=["quant_stats"])
+
+        _, upd = cal(fused_vars, x[:8])
+        int8_vars = jax.device_put(
+            {**fused_vars, "quant_stats": jax.device_get(
+                upd["quant_stats"])})
+        int8_predict = make_predict(int8=True)
+
+        # box parity gate vs the bf16 path (BASELINE parity clause)
+        ref = jax.device_get(jax.jit(bf16_predict)(fused_vars, x[:4]))
+        got = jax.device_get(jax.jit(int8_predict)(int8_vars, x[:4]))
+        ious, n_ref, n_match = [], 0, 0
+        for i in range(4):
+            rb = ref.boxes[i][np.asarray(ref.valid[i])]
+            gb = got.boxes[i][np.asarray(got.valid[i])]
+            n_ref += len(rb)
+            if not len(rb) or not len(gb):
+                continue
+            x1 = np.maximum(rb[:, None, 0], gb[None, :, 0])
+            y1 = np.maximum(rb[:, None, 1], gb[None, :, 1])
+            x2 = np.minimum(rb[:, None, 2], gb[None, :, 2])
+            y2 = np.minimum(rb[:, None, 3], gb[None, :, 3])
+            inter = np.clip(x2 - x1, 0, None) * np.clip(y2 - y1, 0, None)
+            area_r = ((rb[:, 2] - rb[:, 0]) * (rb[:, 3] - rb[:, 1]))
+            area_g = ((gb[:, 2] - gb[:, 0]) * (gb[:, 3] - gb[:, 1]))
+            iou = inter / (area_r[:, None] + area_g[None] - inter + 1e-9)
+            best = iou.max(axis=1)
+            n_match += int((best > 0.9).sum())
+            ious.append(best[best > 0.9])
+        mean_iou = float(np.concatenate(ious).mean()) if ious else 0.0
+        match_frac = n_match / max(n_ref, 1)
+        parity_ok = mean_iou >= 0.999 and match_frac >= 0.97
+        dt_int8 = measure(int8_predict, int8_vars)
+        extra.update(int8_ips=round(BATCH / dt_int8, 2),
+                     int8_matched_box_iou=round(mean_iou, 5),
+                     int8_match_frac=round(match_frac, 4),
+                     int8_parity_ok=parity_ok)
+        if parity_ok and dt_int8 < result["dt"]:
+            result = {"config": f"int8+s2d{S2D_MAX_CIN}", "dt": dt_int8}
+
+    dt = result["dt"]
     ips = BATCH / dt
     mfu = ips * GFLOPS_PER_IMG / 1e3 / PEAK_TFLOPS
     print(json.dumps({
-        "metric": "images/sec/chip YOLOv8s-640 predict (batch 32, bf16, "
-                  "fused conv+BN, incl. decode + exact(flagged) greedy NMS "
-                  f"@ ~{n_cand} candidates/img)",
+        "metric": "images/sec/chip YOLOv8s-640 predict (batch 32, "
+                  f"{result['config']}, fused conv+BN, incl. decode + "
+                  f"exact(flagged) greedy NMS @ ~{n_cand} candidates/img)",
         "value": round(ips, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(ips / ROUND1_IPS, 3),
         "mfu": round(mfu, 4),
         "ms_per_batch": round(dt * 1e3, 2),
+        **extra,
     }))
 
 

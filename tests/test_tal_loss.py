@@ -259,6 +259,63 @@ def test_segmentation_loss_runs():
     assert np.isfinite(float(jnp.abs(grads["proto"]).sum()))
 
 
+def test_semseg_branch_vs_torch_oracle():
+    """The optional semantic-seg BCE+Dice branch (Loss.cs:745-770,
+    282-325): items[4] == 0 without inputs; with preds['semseg'] +
+    batch['sem_masks'] present it matches a literal torch replication of
+    BCEDiceLoss (incl. the smooth=1 ctor quirk at Loss.cs:301 and the
+    overlap background zeroing)."""
+    import torch
+
+    from yolosharp_tpu.loss.losses import bce_dice_loss
+
+    rng = np.random.default_rng(4)
+    B, M, nc = 2, 6, 8
+    preds = _fake_det_preds(rng, B=B, nc=nc)
+    key = jax.random.PRNGKey(7)
+    preds["mask"] = tuple(
+        jax.random.normal(jax.random.fold_in(key, i), b.shape[:3] + (32,))
+        for i, b in enumerate(preds["box"]))
+    preds["proto"] = jax.random.normal(key, (B, 16, 16, 32))
+    batch = _fake_batch(rng, B=B, M=M, nc=nc)
+    batch["masks"] = jnp.asarray(
+        rng.integers(0, M + 1, (B, 16, 16)).astype(np.float32))
+    _, base_items = segmentation_loss(preds, batch, nc=nc, max_fg=64)
+    assert float(base_items[4]) == 0.0
+
+    # semseg logits at a different resolution than sem_masks (exercises
+    # the BCEDice nearest-resize of the target)
+    sem_logits = rng.normal(0, 1, (B, 8, 8, nc)).astype(np.float32)
+    sem_ids = rng.integers(0, nc, (B, 16, 16))
+    preds2 = dict(preds, semseg=jnp.asarray(sem_logits))
+    batch2 = dict(batch, sem_masks=jnp.asarray(sem_ids))
+    _, items = segmentation_loss(preds2, batch2, nc=nc, max_fg=64)
+    assert float(items[4]) > 0
+
+    # torch oracle (NCHW), literal Loss.cs semantics
+    sem_t = torch.nn.functional.one_hot(
+        torch.from_numpy(sem_ids).long(), nc).permute(0, 3, 1, 2).float()
+    mask_zero = torch.from_numpy(np.asarray(batch["masks"])) == 0
+    sem_t[mask_zero.unsqueeze(1).expand_as(sem_t)] = 0
+    pred_t = torch.from_numpy(sem_logits).permute(0, 3, 1, 2)
+    tgt = torch.nn.functional.interpolate(sem_t, (8, 8), mode="nearest")
+    bce = torch.nn.functional.binary_cross_entropy_with_logits(pred_t, tgt)
+    p = pred_t.sigmoid()
+    inter = (p * tgt).sum(dim=(2, 3))
+    union = p.sum(dim=(2, 3)) + tgt.sum(dim=(2, 3))
+    dice = (2.0 * inter + 1.0) / (union + 1.0)
+    oracle = 0.5 * float(bce) + 0.5 * float((1.0 - dice).mean(1).mean())
+
+    ours = float(bce_dice_loss(
+        jnp.asarray(sem_logits),
+        jax.nn.one_hot(jnp.asarray(sem_ids), nc)
+        * (batch["masks"] > 0)[..., None]))
+    np.testing.assert_allclose(ours, oracle, rtol=1e-5, atol=1e-6)
+    # and the in-loss value is oracle * hyp_box (gated on fg > 0)
+    np.testing.assert_allclose(float(items[4]), oracle * 7.5,
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_pose_loss_runs():
     rng = np.random.default_rng(4)
     B, M, K = 2, 6, 17

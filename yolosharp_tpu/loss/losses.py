@@ -228,8 +228,11 @@ def segmentation_loss(preds: Dict, batch: Dict, *, nc: int,
     nothing (round 1 silently truncated at 256, dropping mask gradients in
     crowded scenes). `max_fg` overrides the bound (memory knob only; a
     value below the bound re-introduces truncation). items layout mirrors
-    the reference: [box, seg, cls, dfl, semseg(=0)]. Masks must be
-    overlap-encoded (instance id + 1 per pixel), the reference's default.
+    the reference: [box, seg, cls, dfl, semseg]; the semseg slot computes
+    the reference's optional BCE+Dice branch when preds["semseg"] logits
+    and batch["sem_masks"] ids are both present (Loss.cs:745-770), else 0.
+    Masks must be overlap-encoded (instance id + 1 per pixel), the
+    reference's default.
     """
     assert overlap, "only overlap-encoded masks are supported"
     out = _det_core(preds, batch, nc=nc, reg_max=reg_max, tal_topk=tal_topk,
@@ -276,9 +279,23 @@ def segmentation_loss(preds: Dict, batch: Dict, *, nc: int,
                                   valid.astype(jnp.float32)))
     loss_seg = per.sum() / jnp.maximum(fg.sum(), 1.0)
 
+    # optional semantic-seg branch (Loss.cs:745-770): BCE+Dice over
+    # preds["semseg"] logits (B, h, w, nc) vs one-hot batch["sem_masks"]
+    # class ids, with background (instance canvas == 0) zeroed under
+    # overlap encoding, gated — like the reference — on fg anchors
+    # existing, and weighted by the box gain (Loss.cs:768-769).
+    loss_semseg = jnp.zeros(())
+    if "semseg" in preds and "sem_masks" in batch:
+        sem_gt = jax.nn.one_hot(batch["sem_masks"].astype(jnp.int32), nc,
+                                dtype=jnp.float32)        # (B, H, W, nc)
+        sem_gt = sem_gt * (batch["masks"] > 0)[..., None].astype(jnp.float32)
+        semseg_val = bce_dice_loss(preds["semseg"].astype(jnp.float32),
+                                   sem_gt) * hyp_box
+        loss_semseg = jnp.where(fg.sum() > 0, semseg_val, 0.0)
+
     items = jnp.stack([out.loss_box * hyp_box, loss_seg * hyp_box,
                        out.loss_cls * hyp_cls, out.loss_dfl * hyp_dfl,
-                       jnp.zeros(())])
+                       loss_semseg])
     return items.sum() * b, items
 
 
@@ -369,20 +386,33 @@ def bce_blur_loss(logits, targets, alpha: float = 0.05):
 
 
 def multi_channel_dice_loss(pred_logits, target, smooth: float = 1e-6):
-    """Multi-channel Dice on NCHW-style (B, C, H, W) masks (Loss.cs:233-278)."""
+    """Multi-channel Dice on NHWC (B, H, W, C) masks (Loss.cs:233-278):
+    per-(image, channel) dice over the spatial dims, channel mean, then
+    batch mean."""
     pred = jax.nn.sigmoid(pred_logits)
-    inter = (pred * target).sum((-2, -1))
-    union = pred.sum((-2, -1)) + target.sum((-2, -1))
+    inter = (pred * target).sum((1, 2))               # (B, C)
+    union = pred.sum((1, 2)) + target.sum((1, 2))
     dice = (2.0 * inter + smooth) / (union + smooth)
-    return (1.0 - dice).mean()
+    return (1.0 - dice).mean(-1).mean()
 
 
 def bce_dice_loss(pred_logits, target, weight_bce: float = 0.5,
                   weight_dice: float = 0.5):
-    """Combined BCE + Dice for semantic-seg heads (Loss.cs:283-325)."""
-    if target.shape[-2:] != pred_logits.shape[-2:]:
-        target = jax.image.resize(target, target.shape[:-2]
-                                  + pred_logits.shape[-2:], "nearest")
+    """Combined BCE + Dice for semantic-seg heads (Loss.cs:283-325), NHWC.
+
+    target is nearest-resized to the pred size when they differ
+    (Loss.cs:317-321). NB the reference constructs its
+    MultiChannelDiceLoss with smooth=1 (Loss.cs:301), not the class's
+    1e-6 default.
+    """
+    b, h, w, c = pred_logits.shape
+    if target.shape[1:3] != (h, w):
+        # torch F.interpolate(mode="nearest") picks src = floor(dst*scale)
+        # (jax.image.resize's pixel-center nearest picks different pixels)
+        H, W = target.shape[1:3]
+        ri = jnp.floor(jnp.arange(h) * (H / h)).astype(jnp.int32)
+        ci = jnp.floor(jnp.arange(w) * (W / w)).astype(jnp.int32)
+        target = target[:, ri][:, :, ci]
     bce = bce_logits(pred_logits, target).mean()
     return (weight_bce * bce
             + weight_dice * multi_channel_dice_loss(pred_logits, target,

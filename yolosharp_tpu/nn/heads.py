@@ -97,7 +97,8 @@ class Segment(Detect):
     npr: int = 256
 
     @nn.compact
-    def __call__(self, feats, train: bool = False) -> Dict:
+    def __call__(self, feats, train: bool = False,
+                 skip_one2many: bool = False) -> Dict:
         from .common import Proto
 
         c2, c3 = self.head_dims()
@@ -116,8 +117,12 @@ class Segment(Detect):
                     xs[i], train) for i in range(nl))
             return {"box": boxes, "cls": clss, "mask": masks}
 
+        # proto is shared: still needed by one2one mask decode when the
+        # one2many towers are skipped (NMS-free predict, Head.cs:117-127)
         proto = Proto(self.npr, self.nm, name="proto")(feats[0], train)
-        preds = {"one2many": dict(run("", feats), proto=proto)}
+        preds = {}
+        if not (skip_one2many and self.end2end):
+            preds["one2many"] = dict(run("", feats), proto=proto)
         if self.end2end:
             detached = tuple(jax.lax.stop_gradient(f) for f in feats)
             preds["one2one"] = dict(run("one2one_", detached),
@@ -132,7 +137,8 @@ class Obb(Detect):
     ne: int = 1
 
     @nn.compact
-    def __call__(self, feats, train: bool = False) -> Dict:
+    def __call__(self, feats, train: bool = False,
+                 skip_one2many: bool = False) -> Dict:
         import math
 
         c2, c3 = self.head_dims()
@@ -153,7 +159,9 @@ class Obb(Detect):
                 for i in range(nl))
             return {"box": boxes, "cls": clss, "angle": angles}
 
-        preds = {"one2many": run("", feats)}
+        preds = {}
+        if not (skip_one2many and self.end2end):
+            preds["one2many"] = run("", feats)
         if self.end2end:
             detached = tuple(jax.lax.stop_gradient(f) for f in feats)
             preds["one2one"] = run("one2one_", detached)
@@ -167,7 +175,8 @@ class Pose(Detect):
     kpt_dim: int = 3
 
     @nn.compact
-    def __call__(self, feats, train: bool = False) -> Dict:
+    def __call__(self, feats, train: bool = False,
+                 skip_one2many: bool = False) -> Dict:
         c2, c3 = self.head_dims()
         nk = self.kpt_num * self.kpt_dim
         c4 = max(self.ch[0] // 4, nk)
@@ -185,7 +194,9 @@ class Pose(Detect):
                     xs[i], train) for i in range(nl))
             return {"box": boxes, "cls": clss, "kpt": kpts}
 
-        preds = {"one2many": run("", feats)}
+        preds = {}
+        if not (skip_one2many and self.end2end):
+            preds["one2many"] = run("", feats)
         if self.end2end:
             detached = tuple(jax.lax.stop_gradient(f) for f in feats)
             preds["one2one"] = run("one2one_", detached)

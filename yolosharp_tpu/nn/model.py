@@ -239,8 +239,7 @@ class YoloNet(nn.Module):
                 mod = d[1](name=str(i))
                 if self.cfg.task == "classify":
                     return mod(x, train)
-                if skip_one2many and self.cfg.end2end \
-                        and self.cfg.task == "detect":
+                if skip_one2many and self.cfg.end2end:
                     return mod(tuple(outputs[-3:]), train,
                                skip_one2many=True)
                 return mod(tuple(outputs[-3:]), train)

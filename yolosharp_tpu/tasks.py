@@ -102,9 +102,13 @@ class BaseTask:
             self._fused_src = v
         return self._fused_vars
 
-    def _apply_eval(self, variables, images):
+    def _apply_eval(self, variables, images, skip_one2many: bool = False):
         """Eval-mode forward honouring Config.fuse_inference (call only
-        with variables from _predict_variables when fusing)."""
+        with variables from _predict_variables when fusing).
+
+        skip_one2many: E2E NMS-free predict consumes only the one2one
+        branch (Head.cs:117-127); passing True removes the one2many
+        towers from the traced graph entirely."""
         if self.config.fuse_inference:
             from .nn import fused_inference, pallas_conv
             from .nn.common import quant_int8, s2d_stride2
@@ -118,8 +122,10 @@ class BaseTask:
             with fused_inference(), pallas_conv(use_pallas), \
                     s2d_stride2(self.config.s2d_max_cin), \
                     quant_int8(use_int8):
-                return self.net.apply(variables, images, False)
-        return self.net.apply(variables, images, False)
+                return self.net.apply(variables, images, False,
+                                      skip_one2many=skip_one2many)
+        return self.net.apply(variables, images, False,
+                              skip_one2many=skip_one2many)
 
     def calibrate_int8(self, images=None, n_images: int = 16,
                        batch_size: int = 8):
@@ -566,7 +572,8 @@ class Detector(BaseTask):
 
             @jax.jit
             def fn(variables, img, conf, iou):
-                preds = self._apply_eval(variables, img)
+                preds = self._apply_eval(
+                    variables, img, skip_one2many=self.arch.end2end)
                 dec = self._decode_branch(preds)
                 if self.arch.end2end:
                     return dec
@@ -735,7 +742,8 @@ class Segmenter(Detector):
 
             @jax.jit
             def fn(variables, x, conf, iou):
-                preds = self._apply_eval(variables, x)
+                preds = self._apply_eval(
+                    variables, x, skip_one2many=self.arch.end2end)
                 branch = (preds["one2one"] if self.arch.end2end
                           else preds["one2many"])
                 dec = decode_inference(branch, nc=nc,
@@ -858,7 +866,8 @@ class Obber(Detector):
 
             @jax.jit
             def fn(variables, x, conf, iou):
-                preds = self._apply_eval(variables, x)
+                preds = self._apply_eval(
+                    variables, x, skip_one2many=self.arch.end2end)
                 branch = (preds["one2one"] if self.arch.end2end
                           else preds["one2many"])
                 dec = decode_inference(branch, nc=nc,
