@@ -198,3 +198,54 @@ def test_device_batch_contract():
     assert not ds.use_device_augment()
     batch2 = next(iter(DataLoader(ds, 2, workers=2, seed=0)))
     assert "images" in batch2 and "aug_pool" not in batch2
+
+
+@needs_assets
+def test_mosaic_partner_pool_dataset_wide():
+    """Config.mosaic_partner_pool ships dataset-wide extras per shard
+    group in block layout (the reference's partner distribution,
+    YoloDataset.cs:65): pool grows by E per group, src_idx stays within
+    each sample's own block, and some partner picks land on extras."""
+    import os
+
+    from test_e2e_train import _tiny_cfg
+    from yolosharp_tpu.data import YoloDataset
+    from yolosharp_tpu.types import ImageProcessType
+
+    E = 6
+    cfg = _tiny_cfg(image_process_type=ImageProcessType.mosaic,
+                    device_augment=True, mosaic_partner_pool=E,
+                    batch_size=4)
+    ds = YoloDataset(cfg, is_val=False)
+    ds.records = ds.records[:16]
+    ml = ds.max_label_count
+    # two shard groups of 2 (partner_group=2 as a 2-device mesh would set)
+    batch = ds.device_batch(np.arange(4), ml, partner_group=2)
+    gs, block = 2, 2 + E
+    assert batch["aug_pool"].shape[0] == 2 * block
+    assert batch["cls"].shape[0] == 4          # labels stay per-sample
+    src = batch["aug_src_idx"]                 # (4, 4) pool rows
+    for i in range(4):
+        g = i // gs
+        base = g * block
+        assert src[i, 0] == base + i % gs      # main tile = itself
+        assert (src[i] >= base).all() and (src[i] < base + block).all()
+    # across a few batches, extras must actually get picked as partners
+    picked_extra = False
+    for seed in range(8):
+        b2 = ds.device_batch(np.arange(4), ml, partner_group=2)
+        s2 = b2["aug_src_idx"]
+        for i in range(4):
+            base = (i // gs) * block
+            if (s2[i, 1:] >= base + gs).any():
+                picked_extra = True
+    assert picked_extra
+    # and the rendered train step still runs: single group, whole batch
+    from test_e2e_train import _run_steps
+    from yolosharp_tpu.tasks import Detector
+
+    cfg2 = _tiny_cfg(image_process_type=ImageProcessType.mosaic,
+                     device_augment=True, mosaic_partner_pool=E)
+    obj = Detector(cfg2)
+    losses = _run_steps(obj, cfg2)
+    assert losses[0] > 0

@@ -107,6 +107,15 @@ def test_facade_calibrate_int8_predict(tmp_path):
     t = build(int8=True)
     stats = t.calibrate_int8(images=[img, img[:, ::-1]], n_images=2)
     assert len(jax.tree_util.tree_leaves(stats)) > 10
+    # calibration stats persist and round-trip through npz
+    p = str(tmp_path / "calib.npz")
+    t.save_calibration(p)
+    t2_stats = t.load_calibration(p)
+    a = jax.tree_util.tree_leaves(stats)
+    bdt = jax.tree_util.tree_leaves(t2_stats)
+    assert len(a) == len(bdt)
+    np.testing.assert_allclose(np.sort([float(x) for x in a]),
+                               np.sort([float(x) for x in bdt]))
     got = t.image_predict(img, 0.57, 0.45)
     assert len(got) > 0
     # compare on greedily matched boxes (scores shift slightly under int8,

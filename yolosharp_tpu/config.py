@@ -119,6 +119,14 @@ class Config:
     # host cv2. Labels keep the exact host math. Falls back to the host
     # path automatically when mosaic is off/probabilistic or for val.
     device_augment: bool = True
+    # Dataset-wide mosaic partner sampling for the device-augment path
+    # (the reference's distribution, YoloDataset.cs:65): ship this many
+    # extra dataset-wide images per data-parallel shard group and draw
+    # partners from the enlarged pool. 0 (default) = batch-local partners
+    # (a uniform within-epoch sample; avoids the extra host->HBM image
+    # traffic). The host path (device_augment=False) is always
+    # dataset-wide.
+    mosaic_partner_pool: int = 0
     # True fp16 compute with the reference's dynamic loss scaling
     # (Amp.cs:3-176: init 65536, /2 on non-finite, x2 every 2000 good
     # steps). Off by default: ScalarType.float16 maps to bf16 on TPU,

@@ -124,12 +124,30 @@ class YoloDataset:
 
         cfg = self.config
         recs = [self.records[int(i)] for i in idx]
-        plan, labels = DA.plan_mosaic_batch(recs, cfg, self.rng,
-                                            group=partner_group)
-        s = cfg.image_size
         b = len(recs)
-        pool = np.full((b, s, s, 3), 114, np.uint8)
-        for k, r in enumerate(recs):
+        extras = int(getattr(cfg, "mosaic_partner_pool", 0) or 0)
+        if extras > 0:
+            # dataset-wide partners (YoloDataset.cs:65): append E extra
+            # images per shard group in block layout (device_augment.py
+            # plan_mosaic_batch docstring)
+            gs = partner_group if partner_group and partner_group > 0 else b
+            if b % gs:
+                gs = b
+            pool_recs = []
+            for g in range(b // gs):
+                pool_recs += recs[g * gs:(g + 1) * gs]
+                ex = self.rng.integers(0, len(self.records), extras)
+                pool_recs += [self.records[int(t)] for t in ex]
+            plan, labels = DA.plan_mosaic_batch(
+                pool_recs, cfg, self.rng, group=gs,
+                extras_per_group=extras)
+        else:
+            pool_recs = recs
+            plan, labels = DA.plan_mosaic_batch(recs, cfg, self.rng,
+                                                group=partner_group)
+        s = cfg.image_size
+        pool = np.full((len(pool_recs), s, s, 3), 114, np.uint8)
+        for k, r in enumerate(pool_recs):
             h, w = r.resized_shape
             pool[k, :h, :w] = r.img
         out = self._label_arrays(labels, max_labels, s, s)
@@ -139,8 +157,8 @@ class YoloDataset:
                    aug_flips=plan.flips, aug_hsv=plan.hsv)
         if self.task == TaskType.segment:
             sm = s // cfg.mask_ratio
-            mpool = np.zeros((b, sm, sm), np.uint8)
-            for k, r in enumerate(recs):
+            mpool = np.zeros((len(pool_recs), sm, sm), np.uint8)
+            for k, r in enumerate(pool_recs):
                 if r.mask is not None:
                     mh, mw = r.mask.shape[:2]
                     mpool[k, :min(mh, sm), :min(mw, sm)] = \

@@ -18,11 +18,16 @@ the integer-aligned canvas. Differences vs the host path live only on
 1-px tile seams (cv2 blends across tiles there; we clamp into the 114
 border).
 
-Deliberate deviation: mosaic partners are drawn from the current BATCH
-(the reference draws dataset-wide, YoloDataset.cs:65). With a shuffled
-loader the batch is itself a uniform random sample, so the partner
-distribution matches up to within-epoch sampling without replacement;
-drawing dataset-wide on device would quadruple host->HBM image traffic.
+Partner sampling: by default mosaic partners are drawn from the current
+BATCH/shard (the reference draws dataset-wide, YoloDataset.cs:65). With a
+shuffled loader the batch is itself a uniform random sample, so the
+partner distribution matches up to within-epoch sampling without
+replacement. `Config.mosaic_partner_pool = E` restores dataset-wide
+sampling at a measured transfer cost: each shard group ships E extra
+images drawn uniformly from the whole dataset and partners are drawn
+from the enlarged pool (extras_per_group below) — E ~= 3x group size
+makes the pool majority-dataset-wide; the default E=0 keeps the
+batch-local optimization.
 """
 
 from __future__ import annotations
@@ -102,7 +107,7 @@ def _perspective_matrix(img_h: int, img_w: int, out_w: int, out_h: int,
 
 
 def plan_mosaic_batch(records: List[LabelRecord], cfg, rng,
-                      group: int = 0) -> tuple:
+                      group: int = 0, extras_per_group: int = 0) -> tuple:
     """Host planning: random draws + exact label geometry for one batch.
 
     records: the batch's (already decoded+resized) records. group > 0
@@ -110,12 +115,27 @@ def plan_mosaic_batch(records: List[LabelRecord], cfg, rng,
     (data-parallel shards must not gather tiles across devices). Returns
     (MosaicPlan, labels) where labels is a list of per-sample label-only
     LabelRecords (img/mask set to None — pixels come from the device).
+
+    extras_per_group > 0 enables DATASET-WIDE partner sampling (the
+    reference's distribution, YoloDataset.cs:65): records must then be in
+    per-group block layout — n_groups blocks of (group + extras) records,
+    where each block's first `group` entries are the output samples and
+    the rest are partner-only extras drawn from the whole dataset by the
+    caller. Partners are drawn uniformly from the sample's full block.
     """
-    b = len(records)
-    gs = group if group and group > 0 else b
+    E = extras_per_group
     s = cfg.image_size
     border = -s // 2
     out_w = out_h = s  # 2s + 2*border
+
+    if E > 0:
+        gs = group if group and group > 0 else len(records) - E
+        block = gs + E
+        assert len(records) % block == 0, (len(records), gs, E)
+        b = (len(records) // block) * gs          # output samples
+    else:
+        b = len(records)
+        gs = group if group and group > 0 else b
 
     src_idx = np.zeros((b, 4), np.int32)
     rects = np.zeros((b, 4, 4), np.float32)
@@ -127,10 +147,18 @@ def plan_mosaic_batch(records: List[LabelRecord], cfg, rng,
     mask_lut = np.zeros((b, 4, 256), np.int32)
     labels: List[LabelRecord] = []
 
-    for i, main in enumerate(records):
-        g0 = (i // gs) * gs
-        picks = g0 + rng.integers(0, min(gs, b - g0), 3)
-        idx4 = np.array([i, *picks], np.int32)
+    for i in range(b):
+        if E > 0:
+            g, j = divmod(i, gs)
+            base = g * (gs + E)
+            mpos = base + j
+            picks = base + rng.integers(0, gs + E, 3)
+        else:
+            mpos = i
+            g0 = (i // gs) * gs
+            picks = g0 + rng.integers(0, min(gs, len(records) - g0), 3)
+        main = records[mpos]
+        idx4 = np.array([mpos, *picks], np.int32)
         src_idx[i] = idx4
         yc = int(rng.integers(-border, 2 * s + border))
         xc = int(rng.integers(-border, 2 * s + border))

@@ -198,6 +198,35 @@ class BaseTask:
               f"{len(arrs)} images")
         return stats
 
+    def save_calibration(self, path: str):
+        """Persist int8 calibration stats (flat npz) for deploy-time use."""
+        from .ckpt.mapping import flatten
+
+        stats = getattr(self, "_quant_stats", None)
+        if stats is None:
+            raise ValueError("no calibration stats: run calibrate_int8 first")
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        np.savez(path, **{k: np.asarray(v)
+                          for k, v in flatten(stats).items()})
+
+    def load_calibration(self, path: str):
+        """Load int8 calibration stats saved by save_calibration."""
+        with np.load(path) as z:
+            flat = {k: z[k] for k in z.files}
+        # rebuild the tree structure by calibrating shape: unflatten needs
+        # a reference tree; reconstruct nested dicts from dotted keys
+        tree: Dict = {}
+        for key, v in flat.items():
+            node = tree
+            parts = key.split(".")
+            for p in parts[:-1]:
+                node = node.setdefault(p, {})
+            node[parts[-1]] = v
+        self._quant_stats = tree
+        self._fused_src = None
+        self._predict_cache.clear()
+        return tree
+
     # ---------------------------------------------------------- checkpoint
     def load_model(self, path: str, skip_nc_not_equal_layers: bool = False):
         """LoadModel semantics (YoloBaseTaskModel.cs:27-114)."""
@@ -1160,3 +1189,9 @@ class YoloTask:
                        batch_size: int = 8):
         return self.task.calibrate_int8(images, n_images=n_images,
                                         batch_size=batch_size)
+
+    def save_calibration(self, path: str):
+        return self.task.save_calibration(path)
+
+    def load_calibration(self, path: str):
+        return self.task.load_calibration(path)
