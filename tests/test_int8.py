@@ -154,3 +154,47 @@ def test_int8_graph_contains_s8_conv():
     assert conv_lines, txt[:800]
     assert any("xi8>" in ln and "xi32>" in ln for ln in conv_lines), \
         conv_lines
+
+
+def test_batch_predict_matches_image_predict(tmp_path):
+    """batch_predict returns per-image results identical to image_predict
+    when all images share the padded canvas shape."""
+    import cv2
+
+    from yolosharp_tpu.config import Config
+    from yolosharp_tpu.tasks import YoloTask
+    from yolosharp_tpu.types import TaskType, YoloSize, YoloType
+    import re
+    from yolosharp_tpu.ckpt.mapping import flatten, head_index, unflatten
+
+    bus = "/root/reference/YoloSharpDemo/Assets/TestImage/bus.jpg"
+    img = cv2.resize(cv2.imread(bus), (160, 160))
+    img2 = img[:, ::-1].copy()
+
+    t = YoloTask(Config(task_type=TaskType.detect, yolo_type=YoloType.v8,
+                        yolo_size=YoloSize.n, number_class=80,
+                        end2end=False, image_size=160))
+    v = t.task._ensure_variables()
+    params = flatten(v["params"])
+    hidx = head_index(v["params"])
+    prng = np.random.default_rng(3)
+    for key in list(params):
+        if key.endswith(".conv.kernel"):
+            params[key] = (np.asarray(params[key]) * 2.5).astype(np.float32)
+        if re.match(rf"^{hidx}\.cv[23]\.\d\.2\.(kernel|bias)$", key):
+            params[key] = prng.uniform(
+                -0.3, 0.3, np.shape(params[key])).astype(np.float32)
+    v = dict(v)
+    v["params"] = unflatten(params, t.task.variables["params"])
+    t.task.variables = v
+
+    singles = [t.image_predict(img, 0.57, 0.45),
+               t.image_predict(img2, 0.57, 0.45)]
+    batched = t.batch_predict([img, img2], 0.57, 0.45)
+    assert len(batched) == 2 and len(batched[0]) == len(singles[0]) > 0
+    for s_list, b_list in zip(singles, batched):
+        for s, b in zip(s_list, b_list):
+            assert s.class_id == b.class_id
+            assert abs(s.score - b.score) < 1e-3
+            assert abs(s.center_x - b.center_x) <= 1
+            assert abs(s.center_y - b.center_y) <= 1

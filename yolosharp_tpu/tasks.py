@@ -642,6 +642,51 @@ class Detector(BaseTask):
                     x1, y1, x2, y2, out.scores[0][i], out.classes[0][i]))
         return results
 
+    def batch_predict(self, images, predict_threshold=None,
+                      iou_threshold=None) -> List[List[YoloResult]]:
+        """Batched inference: N images -> N result lists in ONE device
+        program (the TPU-native serving path; the reference predicts one
+        image at a time, Detector.cs:27-72). Mixed sizes are padded to a
+        common 32-multiple canvas with the reference's 114 fill; box
+        coordinates are in that canvas's pixels, like image_predict."""
+        if self.task != TaskType.detect:
+            raise NotImplementedError(
+                "batch_predict currently supports the detect task; loop "
+                "image_predict for segment/obb/pose/classify")
+        conf = (self.config.predict_threshold if predict_threshold is None
+                else predict_threshold)
+        iou = (self.config.iou_threshold if iou_threshold is None
+               else iou_threshold)
+        variables = self._predict_variables()
+        arrs = [np.asarray(im, np.float32) for im in images]
+        H = max(a.shape[0] for a in arrs)
+        W = max(a.shape[1] for a in arrs)
+        H, W = -(-H // 32) * 32, -(-W // 32) * 32
+        batch = np.full((len(arrs), H, W, 3), 114.0, np.float32)
+        for i, a in enumerate(arrs):
+            batch[i, :a.shape[0], :a.shape[1]] = a
+        batch /= 255.0
+        fn = self._predict_fn(batch.shape)
+        out = jax.device_get(fn(variables, jnp.asarray(batch),
+                                conf if not self.arch.end2end else 0.0, iou))
+        if not self.arch.end2end:
+            _warn_if_truncated(out)
+        results: List[List[YoloResult]] = []
+        for i in range(len(arrs)):
+            rows: List[YoloResult] = []
+            if self.arch.end2end:
+                for x1, y1, x2, y2, score, cls in out[i][:, :6]:
+                    if score > conf:
+                        rows.append(self._result_from_box(x1, y1, x2, y2,
+                                                          score, cls))
+            else:
+                for j in range(int(out.valid[i].sum())):
+                    x1, y1, x2, y2 = out.boxes[i][j]
+                    rows.append(self._result_from_box(
+                        x1, y1, x2, y2, out.scores[i][j], out.classes[i][j]))
+            results.append(rows)
+        return results
+
     @staticmethod
     def _result_from_box(x1, y1, x2, y2, score, cls) -> YoloResult:
         # integer truncation mirrors Detector.cs:52-68
@@ -1195,3 +1240,9 @@ class YoloTask:
 
     def load_calibration(self, path: str):
         return self.task.load_calibration(path)
+
+    def batch_predict(self, images, predict_threshold: Optional[float] = None,
+                      iou_threshold: Optional[float] = None):
+        """Batched detect inference: one device program for N images."""
+        return self.task.batch_predict(images, predict_threshold,
+                                       iou_threshold)
