@@ -169,13 +169,16 @@ def test_bus_image_full_pipeline_golden():
         oracle, img, conf_thres, 0.45, nc)
     assert len(want_boxes) > 5  # the NMS actually did something
 
-    # ours: the NMS-level predict fn (pre-int-truncation)
+    # ours: the NMS-level predict fn (pre-int-truncation). The fn takes
+    # the uint8 padded canvas and normalizes on device (image_predict's
+    # uint8-transport contract).
     import jax.numpy as jnp
 
-    from yolosharp_tpu.predict import pad_to_multiple
-
-    arr = np.asarray(img, np.float32)[None]
-    arr = np.asarray(pad_to_multiple(jnp.asarray(arr), 32, 114.0)) / 255.0
+    arr = np.asarray(img, np.uint8)[None]
+    ph, pw = (-arr.shape[1]) % 32, (-arr.shape[2]) % 32
+    if ph or pw:
+        arr = np.pad(arr, ((0, 0), (0, ph), (0, pw), (0, 0)),
+                     constant_values=114)
     fn = det._predict_fn(arr.shape)
     out = jax.device_get(fn(det._predict_variables(), jnp.asarray(arr),
                             conf_thres, 0.45))
