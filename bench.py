@@ -13,9 +13,11 @@ pre_topk=512 candidate pool and the result asserts `truncated == False`,
 i.e. the measured configuration is *exact* greedy NMS for this workload.
 
 Round-3 configurations measured:
- - bf16 + space-to-depth stem rewrite (s2d_stride2, exact transform)
+ - bf16 (default; BENCH_S2D=N enables the exact space-to-depth stem
+   rewrite for convs with cin <= N — measured a ~7% LOSS on v5e
+   (1451/1462 vs 1565 img/s for s2d3/s2d16 vs off), so default 0)
  - int8 PTQ (quant_int8: symmetric per-channel weights / per-tensor
-   calibrated activations, int32 MXU accumulation) + s2d
+   calibrated activations, int32 MXU accumulation) + optional s2d
 The headline number is the FASTEST configuration that passes the box
 parity gate vs the bf16 path (matched-box IoU >= 0.999, same candidate
 statistics); both measurements are reported.
@@ -40,7 +42,7 @@ ITERS = 10
 GFLOPS_PER_IMG = 28.6     # Ultralytics-published v8s-640 forward FLOPs
 PEAK_TFLOPS = 197.0       # TPU v5e bf16 peak
 ROUND1_IPS = 1110.53
-S2D_MAX_CIN = int(os.environ.get("BENCH_S2D", "3"))
+S2D_MAX_CIN = int(os.environ.get("BENCH_S2D", "0"))
 TRY_INT8 = os.environ.get("BENCH_INT8", "1") == "1"
 
 

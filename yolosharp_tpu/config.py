@@ -105,7 +105,11 @@ class Config:
     # input channels eligible (3 = stem only, 0 = off). The stem's
     # 3-channel stride-2 conv is XLA's worst layout case (32/128 lanes);
     # rewritten it runs at 4x the input channels and half the resolution.
-    s2d_max_cin: int = 3
+    # MEASURED a net ~7% loss on v5e (v8s-640 b32: 1451 img/s s2d3 /
+    # 1462 s2d16 vs 1565 off — the s2d transpose relayout costs more than
+    # the stem saves under this XLA), so off by default; kept as a knob
+    # for other model/hardware mixes (exactness is unit+model tested).
+    s2d_max_cin: int = 0
     # int8 post-training-quantized predict (v5e int8 MXU ~= 2x bf16 peak).
     # Requires a calibration pass first: YoloTask.calibrate_int8() records
     # per-conv activation absmax through the fused predict graph; predict
