@@ -1,0 +1,110 @@
+"""predict_stream: pipelined streaming inference.
+
+Correctness contract: one result list per input image, in input order,
+boxes in ORIGINAL image coordinates (the stream LetterBoxes internally and
+maps back), numerically matching the single-image path. The pipelining
+(host pack thread + transfer thread + depth-2 device dispatch) must be
+invisible to results. Reference predict surface: Detector.cs:27-72 (one
+image per call, canvas coords); the stream API is the TPU-native serving
+extension on top of the same jitted program as batch_predict.
+"""
+
+import re
+
+import cv2
+import numpy as np
+
+from yolosharp_tpu.ckpt.mapping import flatten, head_index, unflatten
+from yolosharp_tpu.config import Config
+from yolosharp_tpu.tasks import YoloTask
+from yolosharp_tpu.types import TaskType, YoloSize, YoloType
+
+BUS = "/root/reference/YoloSharpDemo/Assets/TestImage/bus.jpg"
+
+
+def _calibrated_task(imgsz=160):
+    """Random v8n with kept-alive activations + varied head biases so the
+    untrained net yields real candidates (test_int8.py recipe)."""
+    t = YoloTask(Config(task_type=TaskType.detect, yolo_type=YoloType.v8,
+                        yolo_size=YoloSize.n, number_class=80,
+                        end2end=False, image_size=imgsz))
+    v = t.task._ensure_variables()
+    params = flatten(v["params"])
+    hidx = head_index(v["params"])
+    prng = np.random.default_rng(3)
+    for key in list(params):
+        if key.endswith(".conv.kernel"):
+            params[key] = (np.asarray(params[key]) * 2.5).astype(np.float32)
+        if re.match(rf"^{hidx}\.cv[23]\.\d\.2\.(kernel|bias)$", key):
+            params[key] = prng.uniform(
+                -0.3, 0.3, np.shape(params[key])).astype(np.float32)
+    v = dict(v)
+    v["params"] = unflatten(params, t.task.variables["params"])
+    t.task.variables = v
+    return t
+
+
+def test_stream_matches_batch_predict_order_and_values():
+    t = _calibrated_task(160)
+    img = cv2.resize(cv2.imread(BUS), (160, 160))
+    # 5 distinct canvas-size images (ratio=1, no pad): stream results must
+    # equal batch_predict per image; batch_size=2 forces a padded final
+    # batch and 3 pipeline flushes
+    imgs = [img, img[:, ::-1].copy(), img[::-1].copy(),
+            np.ascontiguousarray(np.roll(img, 31, axis=1)), img]
+    want = t.task.batch_predict(imgs, 0.57, 0.45)
+    got = list(t.task.predict_stream(iter(imgs), batch_size=2, imgsz=160,
+                                     predict_threshold=0.57,
+                                     iou_threshold=0.45))
+    assert len(got) == 5
+    assert [len(g) for g in got] == [len(w) for w in want]
+    assert any(len(g) > 0 for g in got)
+    for g_list, w_list in zip(got, want):
+        for g, w in zip(g_list, w_list):
+            assert g.class_id == w.class_id
+            assert abs(g.score - w.score) < 1e-3
+            # canvas == original here (ratio 1, pad 0), but the stream
+            # additionally clips boxes to the image bounds — apply the same
+            # clip to the canvas-coord expectation before comparing
+            wx1 = np.clip(w.center_x - w.width / 2, 0, 160)
+            wx2 = np.clip(w.center_x + w.width / 2, 0, 160)
+            wy1 = np.clip(w.center_y - w.height / 2, 0, 160)
+            wy2 = np.clip(w.center_y + w.height / 2, 0, 160)
+            assert abs(g.center_x - (wx1 + wx2) / 2) <= 2
+            assert abs(g.center_y - (wy1 + wy2) / 2) <= 2
+            assert abs(g.width - (wx2 - wx1)) <= 3
+            assert abs(g.height - (wy2 - wy1)) <= 3
+
+
+def test_stream_letterbox_maps_back_to_original_coords():
+    """A smaller image goes through the internal LetterBox; returned boxes
+    must be in the ORIGINAL image's pixels (inverse of ratio/pad), matching
+    image_predict run on a hand-letterboxed canvas with hand-mapped boxes."""
+    t = _calibrated_task(160)
+    base = cv2.resize(cv2.imread(BUS), (160, 160))
+    small = cv2.resize(base, (80, 120))  # w=80, h=120 -> ratio 160/120
+    ih, iw = small.shape[:2]
+    ratio = min(160 / iw, 160 / ih)
+    nw, nh = int(iw * ratio), int(ih * ratio)
+    canvas = np.full((160, 160, 3), 114, np.uint8)
+    pl, pu = (160 - nw) // 2, (160 - nh) // 2
+    canvas[pu:pu + nh, pl:pl + nw] = cv2.resize(
+        small, (nw, nh), interpolation=cv2.INTER_LINEAR)
+
+    singles = t.image_predict(canvas, 0.57, 0.45)
+    got = list(t.task.predict_stream([small], batch_size=1, imgsz=160,
+                                     predict_threshold=0.57,
+                                     iou_threshold=0.45))[0]
+    assert len(got) == len(singles) > 0
+    for g, s in zip(got, singles):
+        assert g.class_id == s.class_id
+        assert abs(g.score - s.score) < 1e-3
+        # map the canvas-coord single result back by hand
+        sx1 = np.clip((s.center_x - s.width / 2 - pl) / ratio, 0, iw)
+        sy1 = np.clip((s.center_y - s.height / 2 - pu) / ratio, 0, ih)
+        sx2 = np.clip((s.center_x + s.width / 2 - pl) / ratio, 0, iw)
+        sy2 = np.clip((s.center_y + s.height / 2 - pu) / ratio, 0, ih)
+        assert abs(g.center_x - (sx1 + sx2) / 2) <= 2
+        assert abs(g.center_y - (sy1 + sy2) / 2) <= 2
+        assert abs(g.width - (sx2 - sx1)) <= 3
+        assert abs(g.height - (sy2 - sy1)) <= 3

@@ -21,26 +21,39 @@ import numpy as np
 def device_prefetch(iterable, put_fn, depth: int = 2):
     """Move batches to device `depth` steps ahead of consumption.
 
-    jax transfers are async, so putting the next batch while the current
-    step executes overlaps host->HBM traffic with compute — essential when
-    the host link is slow (remote/tunneled TPU).
+    `put_fn` runs on a dedicated transfer thread: on a remote/tunneled
+    TPU `jax.device_put` blocks while the bytes stream over the link, so
+    calling it inline would serialize transfer with step dispatch. The
+    thread overlaps host->HBM traffic with BOTH the producer's host work
+    and the device compute; `depth` bounds how many transferred batches
+    may be in flight (device memory backpressure).
     """
-    import collections
+    q: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
+    stop = threading.Event()
 
-    it = iter(iterable)
-    buf = collections.deque()
-    try:
-        for _ in range(depth):
-            buf.append(put_fn(next(it)))
-    except StopIteration:
-        pass
-    while buf:
-        out = buf.popleft()
+    def transfer():
         try:
-            buf.append(put_fn(next(it)))
-        except StopIteration:
-            pass
-        yield out
+            for item in iterable:
+                if stop.is_set():
+                    break
+                q.put(put_fn(item))
+        except Exception as exc:  # surface to consumer
+            q.put(exc)
+        finally:
+            q.put(None)
+
+    t = threading.Thread(target=transfer, daemon=True)
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            if isinstance(item, Exception):
+                raise item
+            yield item
+    finally:
+        stop.set()
 
 
 class DataLoader:

@@ -65,6 +65,72 @@ def decode_inference(branch: Dict, *, nc: int, reg_max: int = 16,
     return jnp.concatenate(parts, axis=-1).swapaxes(-1, -2)  # (B, C, A)
 
 
+def decode_inference_topk(branch: Dict, *, nc: int, conf_thres,
+                          k: int, reg_max: int = 16, kpt_num: int = 17,
+                          kpt_dim: int = 3):
+    """Select-then-decode: top-k candidate pre-selection on RAW class
+    logits, then DFL/anchor/keypoint decode for only the K selected
+    anchors.
+
+    Exactness: sigmoid is strictly monotone, so top-k ordering and the
+    confidence threshold commute with the selection — the (scores, boxes)
+    the NMS sees are bit-identical to ``decode_inference`` + NMS
+    ``pre_topk=k`` (tested in tests/test_predict_topk.py), at ~K/A of the
+    decode cost (A = 8400 at 640px; the DFL softmax over 4*reg_max bins,
+    dist2bbox, and the kpt decode are the non-conv fat of the predict
+    profile). The reference decodes every anchor then conf-filters
+    (Head.cs:107-223 + Ops.cs:239-282); on TPU the fixed-K gather is the
+    native formulation.
+
+    Returns ``(pred (B, C, K), truncated (B,))`` where pred matches the
+    decode_inference channel layout and truncated flags images whose
+    above-threshold candidate count exceeded K (callers OR it into the
+    NMS output's flag).
+    """
+    cls_l = flatten_levels(branch["cls"])               # (B, A, nc) logits
+    conf_l = cls_l.max(-1).astype(jnp.float32)          # (B, A)
+    a = conf_l.shape[-1]
+    k = min(k, a)
+    top_l, top_idx = jax.lax.top_k(conf_l, k)           # (B, K)
+    ct = jnp.float32(conf_thres)
+    thr_logit = jnp.log(ct) - jnp.log1p(-ct)
+    truncated = (conf_l > thr_logit).sum(-1) > k
+
+    feat_shapes = [m.shape[1:3] for m in branch["box"]]
+    anchors, strides = make_anchors(feat_shapes, STRIDES)
+    anc_k = jnp.take(anchors, top_idx, axis=0)          # (B, K, 2)
+    str_k = jnp.take(strides, top_idx, axis=0)          # (B, K, 1)
+
+    def gather(levels):
+        flat = flatten_levels(levels)                   # (B, A, C)
+        return jnp.take_along_axis(flat, top_idx[..., None], axis=1)
+
+    dist = dfl_decode(gather(branch["box"]), reg_max)   # (B, K, 4)
+    if "angle" in branch:
+        angle = gather(branch["angle"]).astype(jnp.float32)
+        dbox = dist2rbox(dist, angle, anc_k) * str_k
+    else:
+        dbox = dist2bbox(dist, anc_k, xywh=True) * str_k
+    scores = jax.nn.sigmoid(gather(branch["cls"]).astype(jnp.float32))
+    parts = [dbox, scores]
+    if "mask" in branch:
+        parts.append(gather(branch["mask"]).astype(jnp.float32))
+    if "kpt" in branch:
+        kpts = gather(branch["kpt"]).astype(jnp.float32)
+        b, _, _ = kpts.shape
+        kpts = kpts.reshape(b, k, kpt_num, kpt_dim)
+        xy = (kpts[..., :2] * 2.0 + (anc_k[:, :, None] - 0.5)) \
+            * str_k[:, :, None]
+        if kpt_dim == 3:
+            kpts = jnp.concatenate([xy, jax.nn.sigmoid(kpts[..., 2:3])], -1)
+        else:
+            kpts = xy
+        parts.append(kpts.reshape(b, k, kpt_num * kpt_dim))
+    if "angle" in branch:
+        parts.append(angle)
+    return jnp.concatenate(parts, axis=-1).swapaxes(-1, -2), truncated
+
+
 def e2e_postprocess(pred: jnp.ndarray, *, nc: int, max_det: int = 300,
                     extra: int = 0) -> jnp.ndarray:
     """NMS-free top-k select (Head.cs postprocess/get_topk_index:117-196).

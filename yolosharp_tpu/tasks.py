@@ -35,7 +35,8 @@ from .ops import box_iou, kpt_iou, mask_iou, batch_probiou
 from .ops.masks import process_mask
 from .ops.nms import non_max_suppression
 from .parallel.mesh import create_mesh, shard_batch
-from .predict import decode_inference, e2e_postprocess, pad_to_multiple
+from .predict import (decode_inference, decode_inference_topk,
+                      e2e_postprocess, pad_to_multiple)
 from .train import TrainState, make_optimizer, make_train_step
 from .types import KeyPoint, TaskType, YoloResult
 from .utils.metrics import ap_per_class, match_predictions, summarize
@@ -560,6 +561,14 @@ class Detector(BaseTask):
                                   nc=self.config.number_class)
         return dec
 
+    def _decode_branch_topk(self, preds, conf, k):
+        """Select-then-decode for the non-e2e predict path (exact; see
+        predict.decode_inference_topk). Subclasses override to pass their
+        extra head shapes."""
+        return decode_inference_topk(preds["one2many"],
+                                     nc=self.config.number_class,
+                                     conf_thres=conf, k=k)
+
     def _decode_for_val(self, preds):
         dec = self._decode_branch(preds)
         if self.arch.end2end:
@@ -604,12 +613,16 @@ class Detector(BaseTask):
                 img = img.astype(jnp.float32) / 255.0
                 preds = self._apply_eval(
                     variables, img, skip_one2many=self.arch.end2end)
-                dec = self._decode_branch(preds)
                 if self.arch.end2end:
-                    return dec
-                return non_max_suppression(
-                    dec, conf, iou, nc=nc,
-                    pre_topk=self.config.nms_pre_topk)
+                    return self._decode_branch(preds)
+                if self.config.nms_pre_topk:
+                    # select-then-decode: exact, decodes only K anchors
+                    dec, trunc = self._decode_branch_topk(
+                        preds, conf, self.config.nms_pre_topk)
+                    out = non_max_suppression(dec, conf, iou, nc=nc)
+                    return out._replace(truncated=out.truncated | trunc)
+                dec = self._decode_branch(preds)
+                return non_max_suppression(dec, conf, iou, nc=nc)
 
             self._predict_cache[shape] = fn
         return self._predict_cache[shape]
@@ -692,6 +705,101 @@ class Detector(BaseTask):
                         x1, y1, x2, y2, out.scores[i][j], out.classes[i][j]))
             results.append(rows)
         return results
+
+    def predict_stream(self, images, batch_size: int = 16,
+                       imgsz: Optional[int] = None,
+                       predict_threshold=None, iou_threshold=None,
+                       workers: int = 4):
+        """Pipelined streaming inference: a generator over an iterable of
+        raw BGR uint8 images that yields one ``List[YoloResult]`` per
+        image, in order, with boxes in ORIGINAL image coordinates.
+
+        The serving path the reference cannot express (it predicts one
+        image per call with host NMS, Detector.cs:27-72): here the host
+        LetterBoxes images into fixed-shape uint8 batches on a worker
+        thread pool (cv2 releases the GIL), a transfer thread overlaps
+        ``device_put`` with compute, and the device runs one jitted
+        program per batch while the previous batch's results are fetched
+        and unpacked — steady-state throughput is max(host, transfer,
+        device) instead of their sum. The final partial batch is padded
+        with repeats and the padding discarded.
+        """
+        if self.task != TaskType.detect:
+            raise NotImplementedError(
+                "predict_stream currently supports the detect task")
+        conf = (self.config.predict_threshold if predict_threshold is None
+                else predict_threshold)
+        iou = (self.config.iou_threshold if iou_threshold is None
+               else iou_threshold)
+        variables = self._predict_variables()
+        s = imgsz or self.config.image_size
+        s = -(-s // 32) * 32
+        fn = self._predict_fn((batch_size, s, s, 3))
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        from .data.augment import _resize_pad
+        from .data.loader import device_prefetch
+
+        def pack_one(im):
+            im = np.asarray(im, np.uint8)
+            ih, iw = im.shape[:2]
+            pl, pu, out = _resize_pad(im, s, s, s, s, 114)
+            return out, (min(s / iw, s / ih), pl, pu, ih, iw)
+
+        def host_batches():
+            with ThreadPoolExecutor(max(1, workers)) as pool:
+                packed, metas = [], []
+                for out, meta in pool.map(pack_one, images):
+                    packed.append(out)
+                    metas.append(meta)
+                    if len(packed) == batch_size:
+                        yield np.stack(packed), metas
+                        packed, metas = [], []
+                if packed:
+                    n = len(packed)
+                    packed += [packed[-1]] * (batch_size - n)
+                    yield np.stack(packed), metas
+
+        def put(item):
+            batch, metas = item
+            return jnp.asarray(batch), metas
+
+        # depth-2 pipeline: dispatch batch N, then fetch batch N-1 while
+        # N computes on device
+        pending = []
+        e2e = self.arch.end2end
+        for jb, metas in device_prefetch(host_batches(), put, depth=2):
+            pending.append((fn(variables, jb, conf if not e2e else 0.0,
+                               iou), metas))
+            if len(pending) >= 2:
+                yield from self._unpack_stream(pending.pop(0), conf)
+        while pending:
+            yield from self._unpack_stream(pending.pop(0), conf)
+
+    def _unpack_stream(self, item, conf):
+        out, metas = item
+        out = jax.device_get(out)
+        if not self.arch.end2end:
+            _warn_if_truncated(out)
+        for i, (ratio, pl, pu, ih, iw) in enumerate(metas):
+            rows: List[YoloResult] = []
+            if self.arch.end2end:
+                cand = [(r[0], r[1], r[2], r[3], r[4], r[5])
+                        for r in out[i] if r[4] > conf]
+            else:
+                n = int(out.valid[i].sum())
+                cand = [(*out.boxes[i][j], out.scores[i][j],
+                         out.classes[i][j]) for j in range(n)]
+            for x1, y1, x2, y2, score, cls in cand:
+                # undo the LetterBox: canvas -> original pixels
+                x1 = np.clip((x1 - pl) / ratio, 0, iw)
+                x2 = np.clip((x2 - pl) / ratio, 0, iw)
+                y1 = np.clip((y1 - pu) / ratio, 0, ih)
+                y2 = np.clip((y2 - pu) / ratio, 0, ih)
+                rows.append(self._result_from_box(x1, y1, x2, y2,
+                                                  score, cls))
+            yield rows
 
     @staticmethod
     def _result_from_box(x1, y1, x2, y2, score, cls) -> YoloResult:
@@ -827,16 +935,22 @@ class Segmenter(Detector):
                     variables, x, skip_one2many=self.arch.end2end)
                 branch = (preds["one2one"] if self.arch.end2end
                           else preds["one2many"])
-                dec = decode_inference(branch, nc=nc,
-                                       end2end=self.arch.end2end)
                 proto = branch["proto"]
                 if self.arch.end2end:
+                    dec = decode_inference(branch, nc=nc, end2end=True)
                     rows = e2e_postprocess(dec.swapaxes(-1, -2), nc=nc,
                                            extra=32)
                     return {"rows": rows, "proto": proto}
-                return {"nms": non_max_suppression(
-                    dec, conf, iou, nc=nc,
-                    pre_topk=self.config.nms_pre_topk), "proto": proto}
+                if self.config.nms_pre_topk:
+                    dec, trunc = decode_inference_topk(
+                        branch, nc=nc, conf_thres=conf,
+                        k=self.config.nms_pre_topk)
+                    out = non_max_suppression(dec, conf, iou, nc=nc)
+                    return {"nms": out._replace(
+                        truncated=out.truncated | trunc), "proto": proto}
+                dec = decode_inference(branch, nc=nc)
+                return {"nms": non_max_suppression(dec, conf, iou, nc=nc),
+                        "proto": proto}
 
             self._predict_cache[shape] = fn
         return self._predict_cache[shape]
@@ -957,14 +1071,20 @@ class Obber(Detector):
                     variables, x, skip_one2many=self.arch.end2end)
                 branch = (preds["one2one"] if self.arch.end2end
                           else preds["one2many"])
-                dec = decode_inference(branch, nc=nc,
-                                       end2end=self.arch.end2end)
                 if self.arch.end2end:
+                    dec = decode_inference(branch, nc=nc, end2end=True)
                     return e2e_postprocess(dec.swapaxes(-1, -2), nc=nc,
                                            extra=1)
-                return non_max_suppression(
-                    dec, conf, iou, nc=nc, rotated=True,
-                    pre_topk=self.config.nms_pre_topk)
+                if self.config.nms_pre_topk:
+                    dec, trunc = decode_inference_topk(
+                        branch, nc=nc, conf_thres=conf,
+                        k=self.config.nms_pre_topk)
+                    out = non_max_suppression(dec, conf, iou, nc=nc,
+                                              rotated=True)
+                    return out._replace(truncated=out.truncated | trunc)
+                dec = decode_inference(branch, nc=nc)
+                return non_max_suppression(dec, conf, iou, nc=nc,
+                                           rotated=True)
 
             self._predict_cache[shape] = fn
         return self._predict_cache[shape]
@@ -1045,6 +1165,13 @@ class PoseDetector(Detector):
             dec = e2e_postprocess(dec.swapaxes(-1, -2), nc=cfg.number_class,
                                   extra=cfg.keypoint_num * cfg.keypoint_dim)
         return dec
+
+    def _decode_branch_topk(self, preds, conf, k):
+        cfg = self.config
+        return decode_inference_topk(preds["one2many"], nc=cfg.number_class,
+                                     conf_thres=conf, k=k,
+                                     kpt_num=cfg.keypoint_num,
+                                     kpt_dim=cfg.keypoint_dim)
 
     def _decode_for_val(self, preds):
         dec = self._decode_branch(preds)
