@@ -113,7 +113,7 @@ def w1_v5n_single_predict():
     LetterBox; host and device costs reported separately AND combined."""
     from yolosharp_tpu.config import Config
     from yolosharp_tpu.ops.nms import non_max_suppression
-    from yolosharp_tpu.predict import decode_inference
+    from yolosharp_tpu.predict import decode_inference_topk
     from yolosharp_tpu.tasks import Detector
     from yolosharp_tpu.types import TaskType, YoloSize, YoloType
 
@@ -137,10 +137,12 @@ def w1_v5n_single_predict():
     x = jnp.asarray(img[None].astype(np.float32) / 255.0, jnp.bfloat16)
 
     def predict(im):
+        # production predict program: select-then-decode at the default
+        # Config.nms_pre_topk, exact greedy NMS
         p = task._apply_eval(fused, im)
-        dec = decode_inference(p["one2many"], nc=80)
-        return non_max_suppression(dec, 0.25, 0.45, nc=80,
-                                   pre_topk=2048).scores
+        dec, _ = decode_inference_topk(p["one2many"], nc=80,
+                                       conf_thres=0.25, k=2048)
+        return non_max_suppression(dec, 0.25, 0.45, nc=80).scores
 
     dt = scan_bench(predict, x)
     emit(1, "YOLOv5n-640 single-image predict latency (fwd+decode+NMS, "
@@ -159,17 +161,18 @@ def w2_v8s_batch32():
     from bench import S2D_MAX_CIN, build_calibrated_v8s
     from yolosharp_tpu.nn import fused_inference, pallas_conv, s2d_stride2
     from yolosharp_tpu.ops.nms import non_max_suppression
-    from yolosharp_tpu.predict import decode_inference
+    from yolosharp_tpu.predict import decode_inference_topk
 
-    net, _, fused, x, n_cand = build_calibrated_v8s(jax.random.PRNGKey(0))
+    net, variables, fused, x, n_cand = build_calibrated_v8s(
+        jax.random.PRNGKey(0))
 
     def predict(im):
         with fused_inference(), pallas_conv(False), \
                 s2d_stride2(S2D_MAX_CIN):
             p = net.apply(fused, im, False)
-        dec = decode_inference(p["one2many"], nc=80)
-        return non_max_suppression(dec, 0.25, 0.45, nc=80,
-                                   pre_topk=512).scores
+        dec, _ = decode_inference_topk(p["one2many"], nc=80,
+                                       conf_thres=0.25, k=512)
+        return non_max_suppression(dec, 0.25, 0.45, nc=80).scores
 
     dt = scan_bench(predict, x)
 
@@ -190,6 +193,41 @@ def w2_v8s_batch32():
          ms_per_batch=round(dt * 1e3, 2),
          host_letterbox_ms_per_batch=round(host_batch_dt * 1e3, 2),
          end_to_end_ips_1thread=round(32 / (dt + host_batch_dt), 1))
+
+    # --- end-to-end STREAMING row: the production serving path
+    # (predict_stream: host LetterBox worker pool + transfer thread +
+    # depth-2 device pipeline), real images, original-coords results.
+    # This is the number a user deploying the framework actually gets —
+    # host preprocess and transfers overlapped with device compute
+    # instead of summed (the reference runs the same stages serially
+    # per image, Detector.cs:27-72 + Augment.cs:698-778).
+    from yolosharp_tpu.config import Config
+    from yolosharp_tpu.tasks import Detector
+    from yolosharp_tpu.types import TaskType, YoloSize, YoloType
+
+    det = Detector(Config(task_type=TaskType.detect, yolo_type=YoloType.v8,
+                          yolo_size=YoloSize.s, number_class=80,
+                          end2end=False, image_size=640,
+                          nms_pre_topk=512))
+    det.variables = variables            # bench-calibrated weights
+    n_imgs = 256
+    rng = np.random.default_rng(1)
+    imgs = []
+    for _ in range(8):                   # 8 distinct frames, cycled
+        j = rng.integers(0, 30, 2)
+        imgs.append(np.ascontiguousarray(base[j[0]:, j[1]:]))
+    imgs = (imgs * (n_imgs // 8 + 1))[:n_imgs]
+    for _ in det.predict_stream(imgs[:64], batch_size=32):
+        pass                             # compile + warm
+    t0 = time.perf_counter()
+    n_out = sum(1 for _ in det.predict_stream(imgs, batch_size=32))
+    stream_dt = time.perf_counter() - t0
+    assert n_out == n_imgs
+    emit(2, "YOLOv8s-640 STREAMING end-to-end throughput (predict_stream: "
+            "host decode'd frames -> LetterBox pool -> transfer thread -> "
+            "device fwd+decode+NMS -> original-coord results)",
+         n_imgs / stream_dt, "img/s",
+         ms_per_image=round(stream_dt / n_imgs * 1e3, 3))
 
 
 def w3_v8n_finetune_loop(imgsz=320, epochs=3):

@@ -667,11 +667,8 @@ class Detector(BaseTask):
         program (the TPU-native serving path; the reference predicts one
         image at a time, Detector.cs:27-72). Mixed sizes are padded to a
         common 32-multiple canvas with the reference's 114 fill; box
-        coordinates are in that canvas's pixels, like image_predict."""
-        if self.task != TaskType.detect:
-            raise NotImplementedError(
-                "batch_predict currently supports the detect task; loop "
-                "image_predict for segment/obb/pose/classify")
+        coordinates are in that canvas's pixels, like image_predict.
+        Supported for detect/segment/obb/pose (Classifier overrides)."""
         conf = (self.config.predict_threshold if predict_threshold is None
                 else predict_threshold)
         iou = (self.config.iou_threshold if iou_threshold is None
@@ -688,23 +685,32 @@ class Detector(BaseTask):
         fn = self._predict_fn(batch.shape)
         out = jax.device_get(fn(variables, jnp.asarray(batch),
                                 conf if not self.arch.end2end else 0.0, iou))
-        if not self.arch.end2end:
-            _warn_if_truncated(out)
-        results: List[List[YoloResult]] = []
-        for i in range(len(arrs)):
-            rows: List[YoloResult] = []
-            if self.arch.end2end:
-                for x1, y1, x2, y2, score, cls in out[i][:, :6]:
-                    if score > conf:
-                        rows.append(self._result_from_box(x1, y1, x2, y2,
-                                                          score, cls))
-            else:
-                for j in range(int(out.valid[i].sum())):
-                    x1, y1, x2, y2 = out.boxes[i][j]
-                    rows.append(self._result_from_box(
-                        x1, y1, x2, y2, out.scores[i][j], out.classes[i][j]))
-            results.append(rows)
-        return results
+        nms = self._nms_of(out)
+        if nms is not None:
+            _warn_if_truncated(nms)
+        return [self._batch_results(out, i, conf, (H, W), a.shape[:2])
+                for i, a in enumerate(arrs)]
+
+    def _nms_of(self, out):
+        """The NMSOutput inside a predict-fn result (None when e2e)."""
+        return None if self.arch.end2end else out
+
+    def _batch_results(self, out, i, conf, hw, orig_shape
+                       ) -> List[YoloResult]:
+        """Unpack image i of a predict-fn output into YoloResults
+        (canvas coordinates). Overridden per family."""
+        rows: List[YoloResult] = []
+        if self.arch.end2end:
+            for x1, y1, x2, y2, score, cls in out[i][:, :6]:
+                if score > conf:
+                    rows.append(self._result_from_box(x1, y1, x2, y2,
+                                                      score, cls))
+        else:
+            for j in range(int(out.valid[i].sum())):
+                x1, y1, x2, y2 = out.boxes[i][j]
+                rows.append(self._result_from_box(
+                    x1, y1, x2, y2, out.scores[i][j], out.classes[i][j]))
+        return rows
 
     def predict_stream(self, images, batch_size: int = 16,
                        imgsz: Optional[int] = None,
@@ -955,6 +961,39 @@ class Segmenter(Detector):
             self._predict_cache[shape] = fn
         return self._predict_cache[shape]
 
+    def _nms_of(self, out):
+        return None if self.arch.end2end else out["nms"]
+
+    def _batch_results(self, out, i, conf, hw, orig_shape
+                       ) -> List[YoloResult]:
+        h, w = hw
+        oh, ow = orig_shape
+        proto = out["proto"][i]
+        if self.arch.end2end:
+            rows = out["rows"][i]
+            keep = rows[:, 4] > conf
+            boxes, scores = rows[keep, :4], rows[keep, 4]
+            classes, coeffs = rows[keep, 5].astype(int), rows[keep, 6:]
+        else:
+            nms = out["nms"]
+            valid = np.asarray(nms.valid[i])
+            boxes = np.asarray(nms.boxes[i])[valid]
+            scores = np.asarray(nms.scores[i])[valid]
+            classes = np.asarray(nms.classes[i])[valid]
+            coeffs = np.asarray(nms.extras[i])[valid]
+        if len(boxes):
+            masks = np.asarray(process_mask(
+                jnp.asarray(proto).transpose(2, 0, 1), jnp.asarray(coeffs),
+                jnp.asarray(boxes), (h, w), upsample=True))
+        results: List[YoloResult] = []
+        for j in range(len(boxes)):
+            x1, y1, x2, y2 = boxes[j]
+            r = Detector._result_from_box(x1, y1, x2, y2, scores[j],
+                                          classes[j])
+            r.mask = masks[j][:oh, :ow]
+            results.append(r)
+        return results
+
     def image_predict(self, image, predict_threshold=None,
                       iou_threshold=None) -> List[YoloResult]:
         conf = (self.config.predict_threshold if predict_threshold is None
@@ -973,34 +1012,11 @@ class Segmenter(Detector):
 
         fn = self._predict_fn(img.shape)
         decoded = jax.device_get(fn(variables, jnp.asarray(img), conf, iou))
-        if not self.arch.end2end:
-            _warn_if_truncated(decoded["nms"])
+        nms = self._nms_of(decoded)
+        if nms is not None:
+            _warn_if_truncated(nms)
         h, w = img.shape[1:3]
-        results: List[YoloResult] = []
-        proto = decoded["proto"][0]
-        if self.arch.end2end:
-            rows = decoded["rows"][0]
-            keep = rows[:, 4] > conf
-            boxes, scores = rows[keep, :4], rows[keep, 4]
-            classes, coeffs = rows[keep, 5].astype(int), rows[keep, 6:]
-        else:
-            nms = decoded["nms"]
-            valid = np.asarray(nms.valid[0])
-            boxes = np.asarray(nms.boxes[0])[valid]
-            scores = np.asarray(nms.scores[0])[valid]
-            classes = np.asarray(nms.classes[0])[valid]
-            coeffs = np.asarray(nms.extras[0])[valid]
-        if len(boxes):
-            masks = np.asarray(process_mask(
-                jnp.asarray(proto).transpose(2, 0, 1), jnp.asarray(coeffs),
-                jnp.asarray(boxes), (h, w), upsample=True))
-        for j in range(len(boxes)):
-            x1, y1, x2, y2 = boxes[j]
-            r = Detector._result_from_box(x1, y1, x2, y2, scores[j],
-                                          classes[j])
-            r.mask = masks[j][:oh, :ow]
-            results.append(r)
-        return results
+        return self._batch_results(decoded, 0, conf, (h, w), (oh, ow))
 
 
 class Obber(Detector):
@@ -1089,6 +1105,28 @@ class Obber(Detector):
             self._predict_cache[shape] = fn
         return self._predict_cache[shape]
 
+    def _batch_results(self, out, i, conf, hw, orig_shape
+                       ) -> List[YoloResult]:
+        results: List[YoloResult] = []
+        if self.arch.end2end:
+            for row in out[i]:
+                if row[4] <= conf:
+                    continue
+                results.append(YoloResult(
+                    class_id=int(row[5]), score=float(row[4]),
+                    center_x=int(row[0]), center_y=int(row[1]),
+                    width=int(row[2]), height=int(row[3]),
+                    radian=float(row[6])))
+        else:
+            for j in range(int(out.valid[i].sum())):
+                cx, cy, bw, bh, r = out.boxes[i][j]
+                results.append(YoloResult(
+                    class_id=int(out.classes[i][j]),
+                    score=float(out.scores[i][j]), center_x=int(cx),
+                    center_y=int(cy), width=int(bw), height=int(bh),
+                    radian=float(r)))
+        return results
+
     def image_predict(self, image, predict_threshold=None,
                       iou_threshold=None) -> List[YoloResult]:
         conf = (self.config.predict_threshold if predict_threshold is None
@@ -1106,28 +1144,11 @@ class Obber(Detector):
 
         fn = self._predict_fn(img.shape)
         out = jax.device_get(fn(variables, jnp.asarray(img), conf, iou))
-        if not self.arch.end2end:
-            _warn_if_truncated(out)
-        results = []
-        if self.arch.end2end:
-            rows = out[0]
-            for row in rows:
-                if row[4] <= conf:
-                    continue
-                results.append(YoloResult(
-                    class_id=int(row[5]), score=float(row[4]),
-                    center_x=int(row[0]), center_y=int(row[1]),
-                    width=int(row[2]), height=int(row[3]),
-                    radian=float(row[6])))
-        else:
-            for i in range(int(out.valid[0].sum())):
-                cx, cy, bw, bh, r = out.boxes[0][i]
-                results.append(YoloResult(
-                    class_id=int(out.classes[0][i]),
-                    score=float(out.scores[0][i]), center_x=int(cx),
-                    center_y=int(cy), width=int(bw), height=int(bh),
-                    radian=float(r)))
-        return results
+        nms = self._nms_of(out)
+        if nms is not None:
+            _warn_if_truncated(nms)
+        return self._batch_results(out, 0, conf, img.shape[1:3],
+                                   image.shape[:2])
 
 
 class PoseDetector(Detector):
@@ -1172,6 +1193,30 @@ class PoseDetector(Detector):
                                      conf_thres=conf, k=k,
                                      kpt_num=cfg.keypoint_num,
                                      kpt_dim=cfg.keypoint_dim)
+
+    def _batch_results(self, out, i, conf, hw, orig_shape
+                       ) -> List[YoloResult]:
+        K, kd = self.config.keypoint_num, self.config.keypoint_dim
+        if self.arch.end2end:
+            rows = out[i]
+            keep = rows[:, 4] > conf
+            boxes, scores = rows[keep, :4], rows[keep, 4]
+            classes, kpts = rows[keep, 5].astype(int), rows[keep, 6:]
+        else:
+            valid = np.asarray(out.valid[i])
+            boxes = np.asarray(out.boxes[i])[valid]
+            scores = np.asarray(out.scores[i])[valid]
+            classes = np.asarray(out.classes[i])[valid]
+            kpts = np.asarray(out.extras[i])[valid]
+        results: List[YoloResult] = []
+        for j in range(len(boxes)):
+            r = Detector._result_from_box(*boxes[j], scores[j], classes[j])
+            pts = kpts[j].reshape(K, kd)
+            r.keypoints = [KeyPoint(float(p[0]), float(p[1]),
+                                    float(p[2]) if kd == 3 else 1.0)
+                           for p in pts]
+            results.append(r)
+        return results
 
     def _decode_for_val(self, preds):
         dec = self._decode_branch(preds)
@@ -1262,32 +1307,14 @@ class PoseDetector(Detector):
         if ph or pw:
             img = np.pad(img, ((0, 0), (0, ph), (0, pw), (0, 0)),
                          constant_values=114)
-        K, kd = cfg.keypoint_num, cfg.keypoint_dim
 
         fn = self._predict_fn(img.shape)
         out = jax.device_get(fn(variables, jnp.asarray(img), conf, iou))
-        if not self.arch.end2end:
-            _warn_if_truncated(out)
-        results = []
-        if self.arch.end2end:
-            rows = out[0]
-            keep = rows[:, 4] > conf
-            boxes, scores = rows[keep, :4], rows[keep, 4]
-            classes, kpts = rows[keep, 5].astype(int), rows[keep, 6:]
-        else:
-            valid = np.asarray(out.valid[0])
-            boxes = np.asarray(out.boxes[0])[valid]
-            scores = np.asarray(out.scores[0])[valid]
-            classes = np.asarray(out.classes[0])[valid]
-            kpts = np.asarray(out.extras[0])[valid]
-        for j in range(len(boxes)):
-            r = Detector._result_from_box(*boxes[j], scores[j], classes[j])
-            pts = kpts[j].reshape(K, kd)
-            r.keypoints = [KeyPoint(float(p[0]), float(p[1]),
-                                    float(p[2]) if kd == 3 else 1.0)
-                           for p in pts]
-            results.append(r)
-        return results
+        nms = self._nms_of(out)
+        if nms is not None:
+            _warn_if_truncated(nms)
+        return self._batch_results(out, 0, conf, img.shape[1:3],
+                                   image.shape[:2])
 
 
 class Classifier(BaseTask):
@@ -1349,6 +1376,26 @@ class Classifier(BaseTask):
         return [YoloResult(class_id=int(i), score=float(probs[i]))
                 for i in order[:5]]
 
+    def batch_predict(self, images, predict_threshold=None,
+                      iou_threshold=None) -> List[List[YoloResult]]:
+        """Batched classification: N images -> N top-5 lists in one
+        device program (the reference classifies one image per call,
+        Classifier.cs)."""
+        import cv2
+
+        variables = self._predict_variables()
+        s = self.config.image_size
+        batch = np.stack([cv2.resize(np.asarray(im), (s, s)).astype(np.uint8)
+                          for im in images])
+        fn = self._predict_fn(batch.shape)
+        probs = np.asarray(jax.device_get(fn(variables, jnp.asarray(batch))))
+        out: List[List[YoloResult]] = []
+        for p in probs:
+            order = np.argsort(-p)
+            out.append([YoloResult(class_id=int(i), score=float(p[i]))
+                        for i in order[:5]])
+        return out
+
 
 _TASKS = {TaskType.detect: Detector, TaskType.segment: Segmenter,
           TaskType.obb: Obber, TaskType.pose: PoseDetector,
@@ -1394,6 +1441,7 @@ class YoloTask:
 
     def batch_predict(self, images, predict_threshold: Optional[float] = None,
                       iou_threshold: Optional[float] = None):
-        """Batched detect inference: one device program for N images."""
+        """Batched inference for every task family: one device program
+        for N images (results per image match image_predict)."""
         return self.task.batch_predict(images, predict_threshold,
                                        iou_threshold)
