@@ -14,6 +14,8 @@ import re
 import cv2
 import numpy as np
 
+from util_calib import calibrate_task
+
 from yolosharp_tpu.ckpt.mapping import flatten, head_index, unflatten
 from yolosharp_tpu.config import Config
 from yolosharp_tpu.tasks import YoloTask
@@ -108,3 +110,64 @@ def test_stream_letterbox_maps_back_to_original_coords():
         assert abs(g.center_y - (sy1 + sy2) / 2) <= 2
         assert abs(g.width - (sx2 - sx1)) <= 3
         assert abs(g.height - (sy2 - sy1)) <= 3
+
+
+def _family_task(task_type, nc, imgsz=128):
+    t = YoloTask(Config(task_type=task_type, yolo_type=YoloType.v8,
+                        yolo_size=YoloSize.n, number_class=nc,
+                        end2end=False, image_size=imgsz))
+    calibrate_task(t.task)
+    return t
+
+
+def test_stream_segment_matches_image_predict():
+    """Canvas-size input (ratio 1, pad 0): the stream's letterbox inverse
+    is the identity, so results must match image_predict, mask included."""
+    t = _family_task(TaskType.segment, 80)
+    img = cv2.resize(cv2.imread(BUS), (128, 128))
+    singles = t.image_predict(img, 0.5, 0.45)
+    got = list(t.task.predict_stream([img], batch_size=1, imgsz=128,
+                                     predict_threshold=0.5,
+                                     iou_threshold=0.45))[0]
+    assert len(got) == len(singles) > 0
+    for g, s in zip(got, singles):
+        assert g.class_id == s.class_id
+        assert abs(g.score - s.score) < 1e-3
+        assert g.mask.shape == s.mask.shape == (128, 128)
+        assert (((g.mask > 0.5) == (s.mask > 0.5)).mean()) > 0.98
+
+
+def test_stream_pose_and_obb_match_image_predict():
+    for task_type, nc in ((TaskType.pose, 1), (TaskType.obb, 15)):
+        t = _family_task(task_type, nc)
+        img = cv2.resize(cv2.imread(BUS), (128, 128))
+        singles = t.image_predict(img, 0.5, 0.45)
+        got = list(t.task.predict_stream([img], batch_size=1, imgsz=128,
+                                         predict_threshold=0.5,
+                                         iou_threshold=0.45))[0]
+        assert len(got) == len(singles) > 0, task_type
+        for g, s in zip(got, singles):
+            assert g.class_id == s.class_id
+            assert abs(g.score - s.score) < 1e-3
+            if task_type == TaskType.obb:
+                # rotated boxes are not clipped by either path
+                assert abs(g.center_x - s.center_x) <= 1
+                assert abs(g.center_y - s.center_y) <= 1
+                assert abs(g.width - s.width) <= 2
+                assert abs(g.height - s.height) <= 2
+            else:
+                # the stream clips axis-aligned boxes to image bounds;
+                # apply the same clip to the single-path expectation
+                sx1 = np.clip(s.center_x - s.width / 2, 0, 128)
+                sx2 = np.clip(s.center_x + s.width / 2, 0, 128)
+                sy1 = np.clip(s.center_y - s.height / 2, 0, 128)
+                sy2 = np.clip(s.center_y + s.height / 2, 0, 128)
+                assert abs(g.center_x - (sx1 + sx2) / 2) <= 2
+                assert abs(g.center_y - (sy1 + sy2) / 2) <= 2
+            assert abs(g.radian - s.radian) < 1e-3
+            if g.keypoints:
+                # the stream clips keypoints into the image; clip the
+                # single-path expectation the same way
+                for gk, sk in zip(g.keypoints, s.keypoints):
+                    assert abs(gk.x - np.clip(sk.x, 0, 128)) < 1
+                    assert abs(gk.y - np.clip(sk.y, 0, 128)) < 1

@@ -718,7 +718,8 @@ class Detector(BaseTask):
                        workers: int = 4):
         """Pipelined streaming inference: a generator over an iterable of
         raw BGR uint8 images that yields one ``List[YoloResult]`` per
-        image, in order, with boxes in ORIGINAL image coordinates.
+        image, in order, with boxes/masks/keypoints in ORIGINAL image
+        coordinates (supported for detect/segment/obb/pose).
 
         The serving path the reference cannot express (it predicts one
         image per call with host NMS, Detector.cs:27-72): here the host
@@ -730,9 +731,6 @@ class Detector(BaseTask):
         device) instead of their sum. The final partial batch is padded
         with repeats and the padding discarded.
         """
-        if self.task != TaskType.detect:
-            raise NotImplementedError(
-                "predict_stream currently supports the detect task")
         conf = (self.config.predict_threshold if predict_threshold is None
                 else predict_threshold)
         iou = (self.config.iou_threshold if iou_threshold is None
@@ -786,26 +784,40 @@ class Detector(BaseTask):
     def _unpack_stream(self, item, conf):
         out, metas = item
         out = jax.device_get(out)
-        if not self.arch.end2end:
-            _warn_if_truncated(out)
-        for i, (ratio, pl, pu, ih, iw) in enumerate(metas):
-            rows: List[YoloResult] = []
-            if self.arch.end2end:
-                cand = [(r[0], r[1], r[2], r[3], r[4], r[5])
-                        for r in out[i] if r[4] > conf]
-            else:
-                n = int(out.valid[i].sum())
-                cand = [(*out.boxes[i][j], out.scores[i][j],
-                         out.classes[i][j]) for j in range(n)]
-            for x1, y1, x2, y2, score, cls in cand:
-                # undo the LetterBox: canvas -> original pixels
-                x1 = np.clip((x1 - pl) / ratio, 0, iw)
-                x2 = np.clip((x2 - pl) / ratio, 0, iw)
-                y1 = np.clip((y1 - pu) / ratio, 0, ih)
-                y2 = np.clip((y2 - pu) / ratio, 0, ih)
-                rows.append(self._result_from_box(x1, y1, x2, y2,
-                                                  score, cls))
-            yield rows
+        nms = self._nms_of(out)
+        if nms is not None:
+            _warn_if_truncated(nms)
+        for i, meta in enumerate(metas):
+            yield self._stream_results(out, i, conf, meta)
+
+    def _xyxy_candidates(self, out, i, conf):
+        """Valid (boxes xyxy, scores, classes, extras) float arrays for
+        image i of a predict-fn output (detect-layout families)."""
+        if self.arch.end2end:
+            rows = out[i]
+            keep = rows[:, 4] > conf
+            return (rows[keep, :4], rows[keep, 4],
+                    rows[keep, 5].astype(int), rows[keep, 6:])
+        valid = np.asarray(out.valid[i])
+        return (np.asarray(out.boxes[i])[valid],
+                np.asarray(out.scores[i])[valid],
+                np.asarray(out.classes[i])[valid],
+                np.asarray(out.extras[i])[valid])
+
+    def _stream_results(self, out, i, conf, meta) -> List[YoloResult]:
+        """Unpack image i into YoloResults mapped back through the
+        letterbox to ORIGINAL image coordinates. Overridden per family."""
+        ratio, pl, pu, ih, iw = meta
+        boxes, scores, classes, _ = self._xyxy_candidates(out, i, conf)
+        rows: List[YoloResult] = []
+        for (x1, y1, x2, y2), score, cls in zip(boxes, scores, classes):
+            # undo the LetterBox: canvas -> original pixels
+            x1 = np.clip((x1 - pl) / ratio, 0, iw)
+            x2 = np.clip((x2 - pl) / ratio, 0, iw)
+            y1 = np.clip((y1 - pu) / ratio, 0, ih)
+            y2 = np.clip((y2 - pu) / ratio, 0, ih)
+            rows.append(self._result_from_box(x1, y1, x2, y2, score, cls))
+        return rows
 
     @staticmethod
     def _result_from_box(x1, y1, x2, y2, score, cls) -> YoloResult:
@@ -994,6 +1006,40 @@ class Segmenter(Detector):
             results.append(r)
         return results
 
+    def _stream_results(self, out, i, conf, meta) -> List[YoloResult]:
+        import cv2
+
+        ratio, pl, pu, ih, iw = meta
+        if self.arch.end2end:
+            rows = out["rows"]
+            cand = self._xyxy_candidates(rows, i, conf)
+        else:
+            cand = self._xyxy_candidates(out["nms"], i, conf)
+        boxes, scores, classes, coeffs = cand
+        s = out["proto"][i].shape[0] * 4  # proto is canvas/4
+        results: List[YoloResult] = []
+        if len(boxes):
+            masks = np.asarray(process_mask(
+                jnp.asarray(out["proto"][i]).transpose(2, 0, 1),
+                jnp.asarray(coeffs), jnp.asarray(boxes), (s, s),
+                upsample=True))
+        nw, nh = int(iw * ratio), int(ih * ratio)
+        for j in range(len(boxes)):
+            x1, y1, x2, y2 = boxes[j]
+            x1 = np.clip((x1 - pl) / ratio, 0, iw)
+            x2 = np.clip((x2 - pl) / ratio, 0, iw)
+            y1 = np.clip((y1 - pu) / ratio, 0, ih)
+            y2 = np.clip((y2 - pu) / ratio, 0, ih)
+            r = Detector._result_from_box(x1, y1, x2, y2, scores[j],
+                                          classes[j])
+            # undo the LetterBox on the mask: crop the content region,
+            # resize back to the original image's pixels
+            m = masks[j][pu:pu + nh, pl:pl + nw].astype(np.float32)
+            r.mask = cv2.resize(m, (iw, ih),
+                                interpolation=cv2.INTER_LINEAR)
+            results.append(r)
+        return results
+
     def image_predict(self, image, predict_threshold=None,
                       iou_threshold=None) -> List[YoloResult]:
         conf = (self.config.predict_threshold if predict_threshold is None
@@ -1127,6 +1173,30 @@ class Obber(Detector):
                     radian=float(r)))
         return results
 
+    def _stream_results(self, out, i, conf, meta) -> List[YoloResult]:
+        ratio, pl, pu, ih, iw = meta
+        if self.arch.end2end:
+            rows = out[i]
+            keep = rows[:, 4] > conf
+            rboxes = np.concatenate([rows[keep, :4], rows[keep, 6:7]], -1)
+            scores, classes = rows[keep, 4], rows[keep, 5].astype(int)
+        else:
+            valid = np.asarray(out.valid[i])
+            rboxes = np.asarray(out.boxes[i])[valid]     # (n, 5) xywhr
+            scores = np.asarray(out.scores[i])[valid]
+            classes = np.asarray(out.classes[i])[valid]
+        results: List[YoloResult] = []
+        for (cx, cy, bw, bh, r), score, cls in zip(rboxes, scores, classes):
+            # rotated boxes scale uniformly under the letterbox inverse;
+            # the angle is invariant
+            results.append(YoloResult(
+                class_id=int(cls), score=float(score),
+                center_x=int((cx - pl) / ratio),
+                center_y=int((cy - pu) / ratio),
+                width=int(bw / ratio), height=int(bh / ratio),
+                radian=float(r)))
+        return results
+
     def image_predict(self, image, predict_threshold=None,
                       iou_threshold=None) -> List[YoloResult]:
         conf = (self.config.predict_threshold if predict_threshold is None
@@ -1215,6 +1285,28 @@ class PoseDetector(Detector):
             r.keypoints = [KeyPoint(float(p[0]), float(p[1]),
                                     float(p[2]) if kd == 3 else 1.0)
                            for p in pts]
+            results.append(r)
+        return results
+
+    def _stream_results(self, out, i, conf, meta) -> List[YoloResult]:
+        ratio, pl, pu, ih, iw = meta
+        K, kd = self.config.keypoint_num, self.config.keypoint_dim
+        boxes, scores, classes, kpts = self._xyxy_candidates(out, i, conf)
+        results: List[YoloResult] = []
+        for j in range(len(boxes)):
+            x1, y1, x2, y2 = boxes[j]
+            x1 = np.clip((x1 - pl) / ratio, 0, iw)
+            x2 = np.clip((x2 - pl) / ratio, 0, iw)
+            y1 = np.clip((y1 - pu) / ratio, 0, ih)
+            y2 = np.clip((y2 - pu) / ratio, 0, ih)
+            r = Detector._result_from_box(x1, y1, x2, y2, scores[j],
+                                          classes[j])
+            pts = kpts[j].reshape(K, kd)
+            r.keypoints = [
+                KeyPoint(float(np.clip((p[0] - pl) / ratio, 0, iw)),
+                         float(np.clip((p[1] - pu) / ratio, 0, ih)),
+                         float(p[2]) if kd == 3 else 1.0)
+                for p in pts]
             results.append(r)
         return results
 
