@@ -4,9 +4,11 @@ partner sampling on the COCO128 recipe (VERDICT r2 missing #3).
 The reference draws mosaic partners from the WHOLE dataset
 (YoloDataset.cs:65); the default device-augment path draws from the
 current batch/shard (data/device_augment.py:21-25) to avoid quadrupling
-host->HBM image traffic. The host path (device_augment=False) keeps the
-reference's dataset-wide sampling, so A = device path (batch-local),
-B = host path (dataset-wide): same recipe, same epochs, same seed.
+host->HBM image traffic. `Config.mosaic_partner_pool=E` restores
+dataset-wide partners on the SAME device pixel path, so the clean A/B
+holds everything constant except the partner distribution:
+A = device path, pool 0 (batch-local); B = device path, pool 48
+(majority dataset-wide at bs16). Same recipe, same epochs, same seed.
 The measured mAP delta goes to BASELINE.md.
 
 Usage: python scripts/ab_mosaic_partners.py [epochs=60] [imgsz=320]
@@ -28,7 +30,7 @@ from yolosharp_tpu.types import ImageProcessType, TaskType, YoloSize, YoloType
 DATA = "/root/reference/YoloSharpDemo/Assets/DataSets/coco128"
 
 
-def run(name: str, device_augment: bool, epochs: int, imgsz: int):
+def run(name: str, partner_pool: int, epochs: int, imgsz: int):
     out = f"/tmp/ab_{name}"
     cfg = Config(root_path=DATA, image_size=imgsz, batch_size=16,
                  epochs=epochs, workers=4,
@@ -36,7 +38,7 @@ def run(name: str, device_augment: bool, epochs: int, imgsz: int):
                  yolo_size=YoloSize.n, number_class=80, end2end=False,
                  image_process_type=ImageProcessType.mosaic,
                  close_mosaic=max(epochs - 10, 1),
-                 device_augment=device_augment,
+                 device_augment=True, mosaic_partner_pool=partner_pool,
                  patience=10 ** 9, output_path=out)
     YoloTask(cfg).train()
     best = (0.0, 0.0, 0)
@@ -52,11 +54,11 @@ def run(name: str, device_augment: bool, epochs: int, imgsz: int):
 def main():
     epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 60
     imgsz = int(sys.argv[2]) if len(sys.argv) > 2 else 320
-    a = run("batchlocal", True, epochs, imgsz)
-    b = run("datasetwide", False, epochs, imgsz)
-    print(f"A batch-local  (device aug): best mAP50-95={a[0]:.4f} "
+    a = run("batchlocal", 0, epochs, imgsz)
+    b = run("datasetwide", 48, epochs, imgsz)
+    print(f"A batch-local  (pool 0) : best mAP50-95={a[0]:.4f} "
           f"mAP50={a[1]:.4f} @ep{a[2]}")
-    print(f"B dataset-wide (host aug)  : best mAP50-95={b[0]:.4f} "
+    print(f"B dataset-wide (pool 48): best mAP50-95={b[0]:.4f} "
           f"mAP50={b[1]:.4f} @ep{b[2]}")
     print(f"delta (A-B) mAP50-95: {a[0] - b[0]:+.4f}")
 

@@ -1,0 +1,95 @@
+"""Data-parallel serving: batch_predict/predict_stream over a mesh must
+be result-identical to the single-device path (same canvas -> same
+program, batch rows sharded over the data axis, params replicated).
+
+The reference is single-device by construction (Types/YoloTypes.cs:49-53);
+mesh predict is the TPU-native scale-out path. Runs on the virtual
+8-device CPU mesh (conftest).
+"""
+
+import cv2
+import numpy as np
+
+from util_calib import calibrate_task
+
+from yolosharp_tpu.config import Config
+from yolosharp_tpu.parallel.mesh import create_mesh
+from yolosharp_tpu.tasks import Classifier, Detector
+from yolosharp_tpu.types import TaskType, YoloSize, YoloType
+
+BUS = "/root/reference/YoloSharpDemo/Assets/TestImage/bus.jpg"
+
+
+def _imgs(n, size=128):
+    base = cv2.resize(cv2.imread(BUS), (size, size))
+    out = []
+    for i in range(n):
+        im = base.copy()
+        im = np.roll(im, 7 * i, axis=1)      # distinct per-image content
+        out.append(im if i % 2 == 0 else im[:, ::-1].copy())
+    return out
+
+
+def _cfg(task_type, **kw):
+    return Config(task_type=task_type, yolo_type=YoloType.v8,
+                  yolo_size=YoloSize.n, number_class=kw.pop("nc", 80),
+                  end2end=False, image_size=128, **kw)
+
+
+def _results_equal(a, b):
+    assert len(a) == len(b)
+    for ra, rb in zip(a, b):
+        assert len(ra) == len(rb)
+        for s, t in zip(ra, rb):
+            assert s.class_id == t.class_id
+            assert abs(s.score - t.score) < 1e-3
+            assert abs(s.center_x - t.center_x) <= 1
+            assert abs(s.center_y - t.center_y) <= 1
+
+
+def test_mesh_batch_predict_matches_single_device():
+    det = calibrate_task(Detector(_cfg(TaskType.detect)))
+    # 5 images on an 8-device mesh: exercises the pad-to-data-axis path
+    imgs = _imgs(5)
+    single = det.batch_predict(imgs, 0.5, 0.45)
+    assert sum(len(r) for r in single) > 0, "vacuous: no detections"
+    mesh = create_mesh()
+    assert mesh.devices.size == 8
+    sharded = det.batch_predict(imgs, 0.5, 0.45, mesh=mesh)
+    _results_equal(single, sharded)
+
+
+def test_mesh_predict_stream_matches_single_device():
+    det = calibrate_task(Detector(_cfg(TaskType.detect)))
+    imgs = _imgs(10)
+    single = [det.image_predict(im, 0.5, 0.45) for im in imgs]
+    mesh = create_mesh()
+    # batch_size rounds up to the data-axis multiple internally
+    streamed = list(det.predict_stream(
+        imgs, batch_size=6, imgsz=128, predict_threshold=0.5,
+        iou_threshold=0.45, mesh=mesh))
+    # stream maps boxes back to original coords; inputs are already
+    # canvas-sized so letterbox is identity and results must match the
+    # per-image path up to its clip
+    assert len(streamed) == len(imgs)
+    n = 0
+    for s_list, t_list in zip(single, streamed):
+        assert len(s_list) == len(t_list)
+        n += len(s_list)
+        for s, t in zip(s_list, t_list):
+            assert s.class_id == t.class_id
+            assert abs(s.score - t.score) < 1e-3
+    assert n > 0, "vacuous: no detections"
+
+
+def test_mesh_classify_batch_predict():
+    clf = Classifier(_cfg(TaskType.classify, nc=5))
+    imgs = _imgs(3, 64)
+    single = clf.batch_predict(imgs)
+    mesh = create_mesh()
+    sharded = clf.batch_predict(imgs, mesh=mesh)
+    assert len(sharded) == 3
+    for s_list, t_list in zip(single, sharded):
+        assert [r.class_id for r in s_list] == [r.class_id for r in t_list]
+        for s, t in zip(s_list, t_list):
+            assert abs(s.score - t.score) < 1e-5

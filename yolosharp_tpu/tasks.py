@@ -103,6 +103,36 @@ class BaseTask:
             self._fused_src = v
         return self._fused_vars
 
+    def _sharded_predict_inputs(self, batch: np.ndarray, variables,
+                                mesh):
+        """Place a uint8 canvas batch on a data-parallel mesh: rows
+        sharded over the data axis, parameters replicated (cached per
+        (mesh, variables) pair), so ONE predict program runs across all
+        chips — the serving scale-out the single-device reference cannot
+        express (Types/YoloTypes.cs:49-53 enumerates one device). Pads
+        the batch with repeated rows to a data-axis multiple; callers
+        slice results back to the original count."""
+        from .parallel.mesh import DATA_AXIS, batch_sharding
+
+        dp = mesh.shape[DATA_AXIS]
+        pad = (-batch.shape[0]) % dp
+        if pad:
+            batch = np.concatenate(
+                [batch, np.repeat(batch[-1:], pad, axis=0)])
+        return (jax.device_put(batch, batch_sharding(mesh)),
+                self._replicated_vars(mesh, variables))
+
+    def _replicated_vars(self, mesh, variables):
+        """Parameters replicated over the mesh, cached per (mesh,
+        variables) pair so repeated predict calls don't re-place them."""
+        from .parallel.mesh import replicate_tree
+
+        key = (id(mesh), id(variables))
+        if getattr(self, "_mesh_vars_key", None) != key:
+            self._mesh_vars = replicate_tree(variables, mesh)
+            self._mesh_vars_key = key
+        return self._mesh_vars
+
     def _apply_eval(self, variables, images, skip_one2many: bool = False):
         """Eval-mode forward honouring Config.fuse_inference (call only
         with variables from _predict_variables when fusing).
@@ -662,13 +692,18 @@ class Detector(BaseTask):
         return results
 
     def batch_predict(self, images, predict_threshold=None,
-                      iou_threshold=None) -> List[List[YoloResult]]:
+                      iou_threshold=None, mesh=None
+                      ) -> List[List[YoloResult]]:
         """Batched inference: N images -> N result lists in ONE device
         program (the TPU-native serving path; the reference predicts one
         image at a time, Detector.cs:27-72). Mixed sizes are padded to a
         common 32-multiple canvas with the reference's 114 fill; box
         coordinates are in that canvas's pixels, like image_predict.
-        Supported for detect/segment/obb/pose (Classifier overrides)."""
+        Supported for detect/segment/obb/pose (Classifier overrides).
+
+        mesh: optional jax.sharding.Mesh (parallel.create_mesh) — the
+        batch is sharded over the data axis and the same program runs
+        data-parallel across every chip in the mesh."""
         conf = (self.config.predict_threshold if predict_threshold is None
                 else predict_threshold)
         iou = (self.config.iou_threshold if iou_threshold is None
@@ -682,8 +717,13 @@ class Detector(BaseTask):
         batch = np.full((len(arrs), H, W, 3), 114, np.uint8)
         for i, a in enumerate(arrs):
             batch[i, :a.shape[0], :a.shape[1]] = a
-        fn = self._predict_fn(batch.shape)
-        out = jax.device_get(fn(variables, jnp.asarray(batch),
+        if mesh is not None:
+            jb, variables = self._sharded_predict_inputs(
+                batch, variables, mesh)
+        else:
+            jb = jnp.asarray(batch)
+        fn = self._predict_fn(jb.shape)
+        out = jax.device_get(fn(variables, jb,
                                 conf if not self.arch.end2end else 0.0, iou))
         nms = self._nms_of(out)
         if nms is not None:
@@ -715,7 +755,7 @@ class Detector(BaseTask):
     def predict_stream(self, images, batch_size: int = 16,
                        imgsz: Optional[int] = None,
                        predict_threshold=None, iou_threshold=None,
-                       workers: int = 4):
+                       workers: int = 4, mesh=None):
         """Pipelined streaming inference: a generator over an iterable of
         raw BGR uint8 images that yields one ``List[YoloResult]`` per
         image, in order, with boxes/masks/keypoints in ORIGINAL image
@@ -738,6 +778,16 @@ class Detector(BaseTask):
         variables = self._predict_variables()
         s = imgsz or self.config.image_size
         s = -(-s // 32) * 32
+        sharding = None
+        if mesh is not None:
+            from .parallel.mesh import DATA_AXIS, batch_sharding
+            # keep every shard equally sized: round the batch up to a
+            # data-axis multiple (padding rows are repeats, discarded
+            # by the meta-driven unpack)
+            dp = mesh.shape[DATA_AXIS]
+            batch_size = -(-batch_size // dp) * dp
+            sharding = batch_sharding(mesh)
+            variables = self._replicated_vars(mesh, variables)
         fn = self._predict_fn((batch_size, s, s, 3))
 
         from concurrent.futures import ThreadPoolExecutor
@@ -767,6 +817,8 @@ class Detector(BaseTask):
 
         def put(item):
             batch, metas = item
+            if sharding is not None:
+                return jax.device_put(batch, sharding), metas
             return jnp.asarray(batch), metas
 
         # depth-2 pipeline: dispatch batch N, then fetch batch N-1 while
@@ -1469,18 +1521,24 @@ class Classifier(BaseTask):
                 for i in order[:5]]
 
     def batch_predict(self, images, predict_threshold=None,
-                      iou_threshold=None) -> List[List[YoloResult]]:
+                      iou_threshold=None, mesh=None
+                      ) -> List[List[YoloResult]]:
         """Batched classification: N images -> N top-5 lists in one
         device program (the reference classifies one image per call,
-        Classifier.cs)."""
+        Classifier.cs). mesh: optional data-parallel Mesh."""
         import cv2
 
         variables = self._predict_variables()
         s = self.config.image_size
         batch = np.stack([cv2.resize(np.asarray(im), (s, s)).astype(np.uint8)
                           for im in images])
-        fn = self._predict_fn(batch.shape)
-        probs = np.asarray(jax.device_get(fn(variables, jnp.asarray(batch))))
+        if mesh is not None:
+            jb, variables = self._sharded_predict_inputs(
+                batch, variables, mesh)
+        else:
+            jb = jnp.asarray(batch)
+        fn = self._predict_fn(jb.shape)
+        probs = np.asarray(jax.device_get(fn(variables, jb)))[:len(images)]
         out: List[List[YoloResult]] = []
         for p in probs:
             order = np.argsort(-p)
@@ -1532,8 +1590,24 @@ class YoloTask:
         return self.task.load_calibration(path)
 
     def batch_predict(self, images, predict_threshold: Optional[float] = None,
-                      iou_threshold: Optional[float] = None):
+                      iou_threshold: Optional[float] = None, mesh=None):
         """Batched inference for every task family: one device program
-        for N images (results per image match image_predict)."""
+        for N images (results per image match image_predict). Pass a
+        mesh (parallel.create_mesh) to run it data-parallel across
+        chips."""
         return self.task.batch_predict(images, predict_threshold,
-                                       iou_threshold)
+                                       iou_threshold, mesh=mesh)
+
+    def predict_stream(self, images, batch_size: int = 16,
+                       imgsz: Optional[int] = None,
+                       predict_threshold: Optional[float] = None,
+                       iou_threshold: Optional[float] = None,
+                       workers: int = 4, mesh=None):
+        """Pipelined streaming inference (detect/segment/obb/pose):
+        yields one List[YoloResult] per input image in original-image
+        coordinates; host letterbox pool + transfer thread + depth-2
+        device pipeline, optionally data-parallel over a mesh."""
+        return self.task.predict_stream(
+            images, batch_size=batch_size, imgsz=imgsz,
+            predict_threshold=predict_threshold,
+            iou_threshold=iou_threshold, workers=workers, mesh=mesh)
