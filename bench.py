@@ -32,6 +32,7 @@ import json
 import os
 import sys
 import time
+from functools import partial
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
@@ -50,6 +51,11 @@ TRY_INT8 = os.environ.get("BENCH_INT8", "0") == "1"
 # select-then-decode: top-k on raw logits BEFORE DFL/anchor decode (exact;
 # see predict.decode_inference_topk). BENCH_TOPK_DECODE=0 for the control.
 TOPK_DECODE = os.environ.get("BENCH_TOPK_DECODE", "1") == "1"
+# TPU compiler tuning (latency-hiding scheduler + 64 MiB scoped VMEM):
+# measured +2.2-2.4% paired on v5e (scripts/perf_experiments_r3.py) and the
+# production predict default (Config.xla_predict_tuning / compile.py).
+# BENCH_XLA_TUNING=0 for the control.
+XLA_TUNING = os.environ.get("BENCH_XLA_TUNING", "1") == "1"
 
 
 def build_calibrated_v8s(key, batch=BATCH, imgsz=IMGSZ):
@@ -141,8 +147,10 @@ def main():
             return non_max_suppression(dec, 0.25, 0.45, nc=80, pre_topk=512)
         return predict
 
+    from yolosharp_tpu.compile import predict_jit
+
     def measure(predict, v):
-        @jax.jit
+        @partial(predict_jit, tune=XLA_TUNING)
         def run(v, im):
             def step(carry, _):
                 out = predict(v, im + carry.astype(im.dtype) * 1e-12)
@@ -166,6 +174,7 @@ def main():
     bf16_predict = make_predict(int8=False)
     dt_bf16 = measure(bf16_predict, fused_vars)
     tag = "+seldec" if TOPK_DECODE else ""
+    tag += "+xlatune" if XLA_TUNING else ""
     result = {"config": f"bf16+s2d{S2D_MAX_CIN}{tag}", "dt": dt_bf16}
     extra = {"bf16_ips": round(BATCH / dt_bf16, 2)}
 

@@ -16,6 +16,7 @@
 #include <cstdlib>
 #include <vector>
 #include <algorithm>
+#include <thread>
 
 extern "C" {
 
@@ -178,6 +179,51 @@ void ys_letterbox_u8(const uint8_t* src, int64_t sh, int64_t sw,
             }
         }
     }
+}
+
+// ---------------------------------------------------------------------------
+// 2x2 space-to-depth pack of a uint8 HWC image batch:
+// (B, H, W, 3) -> (B, H/2, W/2, 12), channel = (py*2+px)*3 + c
+// (matches nn/common.py space_to_depth2). Feeds the packed-input predict
+// path: the stem's stride-2 conv then runs as an exact stride-1 repacked
+// conv with no in-graph transpose. Memory-bound; threaded over rows.
+
+static void s2d_pack_rows(const uint8_t* src, uint8_t* dst,
+                          int64_t h2, int64_t w2, int64_t w,
+                          int64_t r0, int64_t r1) {
+    for (int64_t y = r0; y < r1; y++) {
+        const uint8_t* row0 = src + (2 * y) * w * 3;
+        const uint8_t* row1 = row0 + w * 3;
+        uint8_t* out = dst + y * w2 * 12;
+        for (int64_t x = 0; x < w2; x++) {
+            memcpy(out, row0 + 2 * x * 3, 6);       // (0,0) c0..2 (0,1) c0..2
+            memcpy(out + 6, row1 + 2 * x * 3, 6);   // (1,0) c0..2 (1,1) c0..2
+            out += 12;
+        }
+    }
+}
+
+void ys_s2d_pack_u8(const uint8_t* src, uint8_t* dst,
+                    int64_t b, int64_t h, int64_t w, int64_t n_threads) {
+    const int64_t h2 = h / 2, w2 = w / 2;
+    const int64_t rows = b * h2;
+    int64_t nt = n_threads > 0 ? n_threads
+                               : (int64_t)std::thread::hardware_concurrency();
+    nt = std::max<int64_t>(1, std::min(nt, rows));
+    // view the batch as one (B*H2) row range: image i's packed row y reads
+    // source rows 2y, 2y+1 of image i — contiguous in the batched layout
+    auto work = [&](int64_t t) {
+        int64_t r0 = rows * t / nt, r1 = rows * (t + 1) / nt;
+        for (int64_t r = r0; r < r1; r++) {
+            int64_t i = r / h2, y = r % h2;
+            s2d_pack_rows(src + i * h * w * 3, dst + i * h2 * w2 * 12,
+                          h2, w2, w, y, y + 1);
+        }
+    };
+    if (nt == 1) { work(0); return; }
+    std::vector<std::thread> ts;
+    for (int64_t t = 0; t < nt; t++) ts.emplace_back(work, t);
+    for (auto& th : ts) th.join();
 }
 
 }  // extern "C"

@@ -135,6 +135,72 @@ def test_s2d_stem_matches_plain_forward():
                                        rtol=2e-3, atol=2e-3)
 
 
+def test_s2d_repack6_exact():
+    """repack_s2d_kernel6: 6x6/s2/p2 conv (the v5u stem, Yolo.cs:137-198)
+    == 3x3/s1/p1 conv with the repacked kernel over the s2d input."""
+    from yolosharp_tpu.nn.common import repack_s2d_kernel6, space_to_depth2
+
+    rng = np.random.default_rng(7)
+    for c_in, c_out, hw in [(3, 16, 64), (3, 8, 10)]:
+        x = jnp.asarray(rng.normal(size=(2, hw, hw, c_in)), jnp.float32)
+        k = jnp.asarray(rng.normal(size=(6, 6, c_in, c_out)), jnp.float32)
+        ref = jax.lax.conv_general_dilated(
+            x, k, (2, 2), ((2, 2), (2, 2)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        got = jax.lax.conv_general_dilated(
+            space_to_depth2(x), repack_s2d_kernel6(k), (1, 1),
+            ((1, 1), (1, 1)), dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        assert got.shape == ref.shape == (2, hw // 2, hw // 2, c_out)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_s2d_packed_input_matches_plain_forward():
+    """Full-model fused predict on a HOST-packed space-to-depth input
+    (s2d_packed_input: stem runs as the exact stride-1 repacked conv, no
+    in-graph transpose) == plain eval forward on the raw image — for the
+    3x3/s2 stem (v8) and the 6x6/s2/p2 stem (v5u)."""
+    from yolosharp_tpu.nn import fused_inference
+    from yolosharp_tpu.nn.common import host_space_to_depth2, s2d_packed_input
+
+    import jax.tree_util as jtu
+
+    for version in ("v8", "v5u"):
+        cfg = ArchCfg(version=version, size="n", task="detect", nc=8)
+        net, variables, _ = _init(cfg)
+        variables = dict(variables)
+        variables["batch_stats"] = jtu.tree_map_with_path(
+            lambda p, v: v + 0.1 if p[-1].key == "mean" else v * 1.5 + 0.01,
+            variables["batch_stats"])
+        rng = np.random.default_rng(5)
+        xin = np.asarray(rng.uniform(0, 1, (1, 64, 64, 3)), np.float32)
+        before = net.apply(variables, jnp.asarray(xin), False)
+        fused_vars = fold_bn(variables)
+        packed = jnp.asarray(host_space_to_depth2(xin))
+        assert packed.shape == (1, 32, 32, 12)
+        with fused_inference(), s2d_packed_input():
+            after = net.apply(fused_vars, packed, False)
+        flat_b = jax.tree_util.tree_leaves(before)
+        flat_a = jax.tree_util.tree_leaves(after)
+        assert len(flat_a) == len(flat_b)
+        for a, b in zip(flat_a, flat_b):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-3, atol=2e-3)
+
+
+def test_native_s2d_pack_matches_numpy():
+    """native.s2d_pack_u8 (C++ threaded) == space_to_depth2 semantics."""
+    from yolosharp_tpu.native import s2d_pack_u8
+    from yolosharp_tpu.nn.common import host_space_to_depth2
+
+    rng = np.random.default_rng(11)
+    x = rng.integers(0, 255, (3, 64, 96, 3), np.uint8)
+    got = s2d_pack_u8(x)
+    ref = host_space_to_depth2(x)
+    assert got.shape == (3, 32, 48, 12)
+    assert np.array_equal(got, ref)
+
+
 def test_fused_inference_flag_scoping():
     from yolosharp_tpu.nn import fused_inference, fused_inference_active
 

@@ -136,6 +136,24 @@ class Config:
     # steps). Off by default: ScalarType.float16 maps to bf16 on TPU,
     # which needs no scaling. Parity shim for exact fp16 AMP semantics.
     true_fp16: bool = False
+    # Host-packed space-to-depth input for the BATCHED serving paths
+    # (batch_predict / predict_stream): the host packs the uint8 canvas
+    # 2x2-to-depth (native C++ ys_s2d_pack_u8, ~16 ms/640px-b32 on one
+    # core — pipelined behind device compute in predict_stream) and the
+    # stem runs as the exact stride-1 repacked conv with NO in-graph
+    # transpose (nn/common.py s2d_packed_input; covers the 3x3/s2 stem of
+    # v8/v11/v12 and v5u's 6x6/s2/p2). Measured +2.8..3.6% device
+    # throughput paired on v5e (the in-graph variant s2d_max_cin was a 7%
+    # LOSS — the transpose was the cost). image_predict stays unpacked
+    # (single-image latency: the pack costs more than the stem saves).
+    host_s2d: bool = True
+    # TPU compiler tuning for the jitted predict programs: latency-hiding
+    # scheduler + 64 MiB scoped VMEM. Measured +1.2-2.4% paired on v5e
+    # for UNPACKED predict programs but consistently negative stacked on
+    # the host_s2d packed program (+0.75% vs packed-alone +3.0%,
+    # scripts/perf_experiments_r3.py shootout) — so it is applied only to
+    # unpacked predict jits. A no-op on non-TPU backends.
+    xla_predict_tuning: bool = True
     # When set, capture a jax.profiler trace (viewable in TensorBoard /
     # xprof) of train steps 2-5 of the first epoch into this directory.
     # The reference has no profiler at all (SURVEY §5); this is the

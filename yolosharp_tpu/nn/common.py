@@ -183,6 +183,39 @@ def space_to_depth2(x):
     return x.reshape(b, h // 2, w // 2, 4 * c)
 
 
+def host_space_to_depth2(x):
+    """numpy twin of space_to_depth2 — pack on the HOST so the stem's s2d
+    rewrite pays no in-graph transpose (the transpose is what made the
+    in-graph rewrite a measured loss on v5e; ROUND_NOTES round 3)."""
+    import numpy as np
+    b, h, w, c = x.shape
+    x = np.asarray(x).reshape(b, h // 2, 2, w // 2, 2, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return np.ascontiguousarray(x.reshape(b, h // 2, w // 2, 4 * c))
+
+
+_S2D_PACKED = threading.local()
+
+
+def s2d_packed_active() -> bool:
+    return getattr(_S2D_PACKED, "on", False)
+
+
+@contextlib.contextmanager
+def s2d_packed_input(enable: bool = True):
+    """Trace-time switch: the network input is ALREADY 2x2 space-to-depth
+    packed on the host (host_space_to_depth2). The stem — the first
+    stride-2 3x3 ConvBN, recognized by its packed 12-channel input — runs
+    as the exact stride-1 2x2 repacked conv directly on the packed input
+    (no in-graph transpose). Exact; params unchanged."""
+    prev = s2d_packed_active()
+    _S2D_PACKED.on = enable
+    try:
+        yield
+    finally:
+        _S2D_PACKED.on = prev
+
+
 def repack_s2d_kernel(kernel):
     """(3, 3, C, O) stride-2 kernel -> equivalent (2, 2, 4C, O) stride-1
     kernel over the space-to-depth2 input.
@@ -198,6 +231,22 @@ def repack_s2d_kernel(kernel):
     w2 = w3p.reshape(2, 2, 2, 2, c, o)          # (KY, py, KX, px, C, O)
     w2 = w2.transpose(0, 2, 1, 3, 4, 5)         # (KY, KX, py, px, C, O)
     return w2.reshape(2, 2, 4 * c, o)
+
+
+def repack_s2d_kernel6(kernel):
+    """(6, 6, C, O) stride-2 pad-2 kernel (the v5u stem, Yolo.cs:137-198
+    ConvBN(c, 6, 2, 2)) -> equivalent (3, 3, 4C, O) stride-1 pad-1 kernel
+    over the space_to_depth2 input.
+
+    Derivation: output (y, x) reads original rows 2y-2..2y+3; s2d grid row
+    g covers original rows {2g, 2g+1}, so the window is s2d rows y-1..y+1
+    and tap (KY, py) maps to dy = 2*KY + py - 2 — all 36 taps map 1:1
+    (no zero taps; the 6x6/s2 fold is exact as a pure reshape/transpose).
+    """
+    c, o = kernel.shape[2], kernel.shape[3]
+    w2 = kernel.reshape(3, 2, 3, 2, c, o)       # (KY, py, KX, px, C, O)
+    w2 = w2.transpose(0, 2, 1, 3, 4, 5)         # (KY, KX, py, px, C, O)
+    return w2.reshape(3, 3, 4 * c, o)
 
 
 # ---------------------------------------------------------------------------
@@ -361,6 +410,32 @@ class ConvBN(nn.Module):
                    and autopad(self.k, self.p, self.d) == 1
                    and len(x.shape) == 4
                    and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0)
+        # host-packed variant (s2d_packed_input): the input arrives already
+        # space-to-depth packed as 12 = 4*3 channels; only the stem can see
+        # that channel count (every later stride-2 conv in the zoo has
+        # cin >= 16), so this recognizes exactly the stem conv. Covers the
+        # 3x3/s2/p1 stem (v8/v11/v12) and the 6x6/s2/p2 stem (v5u).
+        use_packed = (not train and fused_inference_active()
+                      and s2d_packed_active() and x.shape[-1] == 12
+                      and self.s == 2 and self.d == 1
+                      and self.g == 1 and not self.use_bias
+                      and len(x.shape) == 4
+                      and ((self.k == 3
+                            and autopad(self.k, self.p, self.d) == 1)
+                           or (self.k == 6
+                               and autopad(self.k, self.p, self.d) == 2)))
+        if use_packed:
+            kernel = _KernelParam((self.k, self.k, 3, self.c2),
+                                  name="conv")()
+            if self.k == 3:
+                keff, pad = repack_s2d_kernel(kernel), ((1, 0), (1, 0))
+            else:
+                keff, pad = repack_s2d_kernel6(kernel), ((1, 1), (1, 1))
+            y = jax.lax.conv_general_dilated(
+                x, keff.astype(x.dtype), (1, 1), pad,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            y = batch_norm(y, train)
+            return ACTS[self.act](y)
         # int8 PTQ eligibility (see quant_int8 above): dense non-dilated
         # ConvBN convs during fused-inference predict. Calibration sows the
         # conv-input absmax; predict requires the sown stat to be present.

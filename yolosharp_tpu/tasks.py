@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .compile import predict_jit
 from .ckpt import (clone_one2one, load_state_dict_file, save_bin,
                    skip_patterns_for_nc_mismatch, state_dict_to_variables,
                    variables_to_state_dict)
@@ -133,16 +134,22 @@ class BaseTask:
             self._mesh_vars_key = key
         return self._mesh_vars
 
-    def _apply_eval(self, variables, images, skip_one2many: bool = False):
+    def _apply_eval(self, variables, images, skip_one2many: bool = False,
+                    packed: bool = False):
         """Eval-mode forward honouring Config.fuse_inference (call only
         with variables from _predict_variables when fusing).
 
         skip_one2many: E2E NMS-free predict consumes only the one2one
         branch (Head.cs:117-127); passing True removes the one2many
-        towers from the traced graph entirely."""
+        towers from the traced graph entirely.
+
+        packed: images arrive HOST space-to-depth packed (B, H/2, W/2, 12)
+        — the stem runs as the exact stride-1 repacked conv
+        (nn/common.py s2d_packed_input; requires fuse_inference)."""
         if self.config.fuse_inference:
             from .nn import fused_inference, pallas_conv
-            from .nn.common import quant_int8, s2d_stride2
+            from .nn.common import (quant_int8, s2d_packed_input,
+                                    s2d_stride2)
 
             # the Pallas small-channel conv kernel only pays off (and is
             # only tuned) on real TPU hardware
@@ -152,9 +159,10 @@ class BaseTask:
                         and getattr(self, "_quant_stats", None) is not None)
             with fused_inference(), pallas_conv(use_pallas), \
                     s2d_stride2(self.config.s2d_max_cin), \
-                    quant_int8(use_int8):
+                    quant_int8(use_int8), s2d_packed_input(packed):
                 return self.net.apply(variables, images, False,
                                       skip_one2many=skip_one2many)
+        assert not packed, "host_s2d requires Config.fuse_inference"
         return self.net.apply(variables, images, False,
                               skip_one2many=skip_one2many)
 
@@ -634,15 +642,23 @@ class Detector(BaseTask):
             acc["pred_cls"].append(classes.astype(float))
             acc["target_cls"].append(gcls)
 
-    def _predict_fn(self, shape):
+    def _use_host_s2d(self) -> bool:
+        """Host-packed s2d input eligibility for the batched serving paths
+        (see Config.host_s2d). All four stems fold (v8/v11/v12 3x3/s2,
+        v5u 6x6/s2/p2); the Pallas conv router must not see the packed
+        stem (it would declare a 12-channel kernel param)."""
+        return (self.config.host_s2d and self.config.fuse_inference
+                and not self.config.pallas_conv)
+
+    def _predict_fn(self, shape, packed: bool = False):
         if shape not in self._predict_cache:
             nc = self.config.number_class
 
-            @jax.jit
             def fn(variables, img, conf, iou):
                 img = img.astype(jnp.float32) / 255.0
                 preds = self._apply_eval(
-                    variables, img, skip_one2many=self.arch.end2end)
+                    variables, img, skip_one2many=self.arch.end2end,
+                    packed=packed)
                 if self.arch.end2end:
                     return self._decode_branch(preds)
                 if self.config.nms_pre_topk:
@@ -654,7 +670,8 @@ class Detector(BaseTask):
                 dec = self._decode_branch(preds)
                 return non_max_suppression(dec, conf, iou, nc=nc)
 
-            self._predict_cache[shape] = fn
+            self._predict_cache[shape] = predict_jit(
+                fn, tune=self.config.xla_predict_tuning and not packed)
         return self._predict_cache[shape]
 
     def image_predict(self, image, predict_threshold=None,
@@ -717,12 +734,16 @@ class Detector(BaseTask):
         batch = np.full((len(arrs), H, W, 3), 114, np.uint8)
         for i, a in enumerate(arrs):
             batch[i, :a.shape[0], :a.shape[1]] = a
+        packed = self._use_host_s2d()
+        if packed:
+            from .native import s2d_pack_u8
+            batch = s2d_pack_u8(batch)
         if mesh is not None:
             jb, variables = self._sharded_predict_inputs(
                 batch, variables, mesh)
         else:
             jb = jnp.asarray(batch)
-        fn = self._predict_fn(jb.shape)
+        fn = self._predict_fn(jb.shape, packed=packed)
         out = jax.device_get(fn(variables, jb,
                                 conf if not self.arch.end2end else 0.0, iou))
         nms = self._nms_of(out)
@@ -788,7 +809,9 @@ class Detector(BaseTask):
             batch_size = -(-batch_size // dp) * dp
             sharding = batch_sharding(mesh)
             variables = self._replicated_vars(mesh, variables)
-        fn = self._predict_fn((batch_size, s, s, 3))
+        packed = self._use_host_s2d()
+        fn = self._predict_fn((batch_size, s // 2, s // 2, 12) if packed
+                              else (batch_size, s, s, 3), packed=packed)
 
         from concurrent.futures import ThreadPoolExecutor
 
@@ -817,6 +840,11 @@ class Detector(BaseTask):
 
         def put(item):
             batch, metas = item
+            if packed:
+                # ctypes releases the GIL: the native pack runs on this
+                # transfer thread overlapped with host prep + device compute
+                from .native import s2d_pack_u8
+                batch = s2d_pack_u8(batch)
             if sharding is not None:
                 return jax.device_put(batch, sharding), metas
             return jnp.asarray(batch), metas
@@ -991,18 +1019,18 @@ class Segmenter(Detector):
               f"Mask: {msk[0]:.3f}/{msk[1]:.3f}/{msk[2]:.3f}/{msk[3]:.3f}")
         return list(box) + list(msk)
 
-    def _predict_fn(self, shape):
+    def _predict_fn(self, shape, packed: bool = False):
         """Per-shape jitted predict (NMS at the *caller's* conf/iou, matching
         Segmenter.cs:45); conf/iou are traced so threshold changes never
         recompile."""
         if shape not in self._predict_cache:
             nc = self.config.number_class
 
-            @jax.jit
             def fn(variables, x, conf, iou):
                 x = x.astype(jnp.float32) / 255.0
                 preds = self._apply_eval(
-                    variables, x, skip_one2many=self.arch.end2end)
+                    variables, x, skip_one2many=self.arch.end2end,
+                    packed=packed)
                 branch = (preds["one2one"] if self.arch.end2end
                           else preds["one2many"])
                 proto = branch["proto"]
@@ -1022,7 +1050,8 @@ class Segmenter(Detector):
                 return {"nms": non_max_suppression(dec, conf, iou, nc=nc),
                         "proto": proto}
 
-            self._predict_cache[shape] = fn
+            self._predict_cache[shape] = predict_jit(
+                fn, tune=self.config.xla_predict_tuning and not packed)
         return self._predict_cache[shape]
 
     def _nms_of(self, out):
@@ -1174,15 +1203,15 @@ class Obber(Detector):
             acc["pred_cls"].append(classes.astype(float))
             acc["target_cls"].append(gcls)
 
-    def _predict_fn(self, shape):
+    def _predict_fn(self, shape, packed: bool = False):
         if shape not in self._predict_cache:
             nc = self.config.number_class
 
-            @jax.jit
             def fn(variables, x, conf, iou):
                 x = x.astype(jnp.float32) / 255.0
                 preds = self._apply_eval(
-                    variables, x, skip_one2many=self.arch.end2end)
+                    variables, x, skip_one2many=self.arch.end2end,
+                    packed=packed)
                 branch = (preds["one2one"] if self.arch.end2end
                           else preds["one2many"])
                 if self.arch.end2end:
@@ -1200,7 +1229,8 @@ class Obber(Detector):
                 return non_max_suppression(dec, conf, iou, nc=nc,
                                            rotated=True)
 
-            self._predict_cache[shape] = fn
+            self._predict_cache[shape] = predict_jit(
+                fn, tune=self.config.xla_predict_tuning and not packed)
         return self._predict_cache[shape]
 
     def _batch_results(self, out, i, conf, hw, orig_shape
@@ -1498,12 +1528,12 @@ class Classifier(BaseTask):
     def _predict_fn(self, shape):
         if shape not in self._predict_cache:
 
-            @jax.jit
             def fn(variables, x):
                 preds = self._apply_eval(variables, x / 255.0)
                 return jax.nn.softmax(preds["cls"].astype(jnp.float32), -1)
 
-            self._predict_cache[shape] = fn
+            self._predict_cache[shape] = predict_jit(
+                fn, tune=self.config.xla_predict_tuning)
         return self._predict_cache[shape]
 
     def image_predict(self, image, predict_threshold=None,
