@@ -27,9 +27,12 @@ def _imgs(size=128):
 
 
 def _cfg(task_type, **kw):
+    # host_s2d=True: the batched path runs host-packed s2d while
+    # image_predict stays raw — every comparison below also asserts the
+    # packed-stem program is result-identical to the unpacked one
     return Config(task_type=task_type, yolo_type=YoloType.v8,
                   yolo_size=YoloSize.n, number_class=kw.pop("nc", 80),
-                  end2end=False, image_size=128, **kw)
+                  end2end=False, image_size=128, host_s2d=True, **kw)
 
 
 def _assert_match(singles, batched, check_extra=None):

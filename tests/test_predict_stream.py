@@ -29,7 +29,7 @@ def _calibrated_task(imgsz=160):
     untrained net yields real candidates (test_int8.py recipe)."""
     t = YoloTask(Config(task_type=TaskType.detect, yolo_type=YoloType.v8,
                         yolo_size=YoloSize.n, number_class=80,
-                        end2end=False, image_size=imgsz))
+                        end2end=False, image_size=imgsz, host_s2d=True))
     v = t.task._ensure_variables()
     params = flatten(v["params"])
     hidx = head_index(v["params"])

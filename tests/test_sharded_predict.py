@@ -31,9 +31,10 @@ def _imgs(n, size=128):
 
 
 def _cfg(task_type, **kw):
+    # host_s2d=True: sharded serving also runs the host-packed stem path
     return Config(task_type=task_type, yolo_type=YoloType.v8,
                   yolo_size=YoloSize.n, number_class=kw.pop("nc", 80),
-                  end2end=False, image_size=128, **kw)
+                  end2end=False, image_size=128, host_s2d=True, **kw)
 
 
 def _results_equal(a, b):

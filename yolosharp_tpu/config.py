@@ -139,14 +139,18 @@ class Config:
     # Host-packed space-to-depth input for the BATCHED serving paths
     # (batch_predict / predict_stream): the host packs the uint8 canvas
     # 2x2-to-depth (native C++ ys_s2d_pack_u8, ~16 ms/640px-b32 on one
-    # core — pipelined behind device compute in predict_stream) and the
-    # stem runs as the exact stride-1 repacked conv with NO in-graph
+    # idle core — pipelined behind device compute in predict_stream) and
+    # the stem runs as the exact stride-1 repacked conv with NO in-graph
     # transpose (nn/common.py s2d_packed_input; covers the 3x3/s2 stem of
     # v8/v11/v12 and v5u's 6x6/s2/p2). Measured +2.8..3.6% device
     # throughput paired on v5e (the in-graph variant s2d_max_cin was a 7%
     # LOSS — the transpose was the cost). image_predict stays unpacked
     # (single-image latency: the pack costs more than the stem saves).
-    host_s2d: bool = True
+    # None = auto: enabled when the host has >= 4 cores (on a starved
+    # host the pack contends with the JAX runtime — measured 136 ms/batch
+    # in-process on a 1-core host vs 16 ms standalone — and would erase
+    # the ~0.6 ms/batch device win in any host-bound pipeline).
+    host_s2d: Optional[bool] = None
     # TPU compiler tuning for the jitted predict programs: latency-hiding
     # scheduler + 64 MiB scoped VMEM. Measured +1.2-2.4% paired on v5e
     # for UNPACKED predict programs but consistently negative stacked on

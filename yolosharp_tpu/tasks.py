@@ -644,10 +644,14 @@ class Detector(BaseTask):
 
     def _use_host_s2d(self) -> bool:
         """Host-packed s2d input eligibility for the batched serving paths
-        (see Config.host_s2d). All four stems fold (v8/v11/v12 3x3/s2,
-        v5u 6x6/s2/p2); the Pallas conv router must not see the packed
-        stem (it would declare a 12-channel kernel param)."""
-        return (self.config.host_s2d and self.config.fuse_inference
+        (see Config.host_s2d; None = auto by host core count). All four
+        stems fold (v8/v11/v12 3x3/s2, v5u 6x6/s2/p2); the Pallas conv
+        router must not see the packed stem (it would declare a
+        12-channel kernel param)."""
+        want = self.config.host_s2d
+        if want is None:
+            want = (os.cpu_count() or 1) >= 4
+        return (want and self.config.fuse_inference
                 and not self.config.pallas_conv)
 
     def _predict_fn(self, shape, packed: bool = False):
