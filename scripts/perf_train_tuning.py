@@ -1,0 +1,129 @@
+"""TPU compiler tuning for the TRAIN step (real chip, paired interleaved).
+
+The predict-side experiments (perf_experiments_r3.py) found the
+latency-hiding scheduler and a 64 MiB scoped-VMEM limit are paired wins on
+the unpacked predict program. The train step is a different program class
+(fwd + TAL assigner + loss + bwd + AdamW, ~3x the predict FLOPs, big
+live-range pressure from saved activations) — measure, don't assume.
+
+Workload: v8n-320 detect train step, batch 16 (the COCO128 fine-tune
+config, BASELINE workload 3). Timing = on-device lax.scan of 10 full
+steps carrying TrainState (one dispatch; immune to tunnel latency), same
+synthetic batch each iteration, non-donated outer state so the timed fn
+is re-runnable.
+
+Usage: python scripts/perf_train_tuning.py [pairs=3]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from yolosharp_tpu.loss import detection_loss
+from yolosharp_tpu.nn import ArchCfg, YoloNet
+from yolosharp_tpu.train import TrainState, make_optimizer
+
+BATCH, IMGSZ, ITERS = 16, 320, 10
+# v8n-640 fwd = 8.7 GFLOPs (Ultralytics); 320px = /4, train ~= 3x fwd
+GFLOPS_PER_IMG = 8.7 / 4 * 3
+PEAK_TFLOPS = 197.0
+
+
+def build():
+    cfg = ArchCfg(version="v8", size="n", task="detect", nc=80)
+    net = YoloNet(cfg)
+    variables = net.init(jax.random.PRNGKey(0),
+                         jnp.zeros((1, IMGSZ, IMGSZ, 3), jnp.float32), False)
+    tx = make_optimizer(nc=80, epochs=10, steps_per_epoch=8)
+    state = TrainState.create(variables, tx)
+    rng = np.random.default_rng(0)
+    batch = {
+        "images": rng.uniform(0, 1, (BATCH, IMGSZ, IMGSZ, 3)
+                              ).astype(np.float32),
+        "cls": rng.integers(0, 80, (BATCH, 16)).astype(np.int32),
+        "bboxes": rng.uniform(0.2, 0.6, (BATCH, 16, 4)).astype(np.float32),
+        "mask_gt": np.ones((BATCH, 16), bool),
+    }
+    batch = jax.device_put(batch)
+    return net, state, batch
+
+
+def make_run(net, compiler_options=None):
+    def scan_steps(state, batch):
+        images = batch["images"].astype(jnp.bfloat16)
+
+        def one_step(st, _):
+            def loss_of(params):
+                variables = {"params": params,
+                             "batch_stats": st.batch_stats}
+                preds, upd = net.apply(variables, images, True,
+                                       mutable=["batch_stats"])
+                loss, items = detection_loss(preds["one2many"], batch,
+                                             nc=80)
+                return loss, (items, upd["batch_stats"])
+
+            (loss, (_, stats)), grads = jax.value_and_grad(
+                loss_of, has_aux=True)(st.params)
+            import optax
+            updates, new_opt = st.tx.update(grads, st.opt_state, st.params)
+            new_params = optax.apply_updates(st.params, updates)
+            st = st.replace(step=st.step + 1, params=new_params,
+                            batch_stats=stats, opt_state=new_opt)
+            return st, loss
+
+        final, losses = jax.lax.scan(one_step, state, None, length=ITERS)
+        return losses[-1].astype(jnp.float32)
+
+    kw = {}
+    if compiler_options:
+        kw["compiler_options"] = compiler_options
+    return jax.jit(scan_steps, **kw)
+
+
+def measure(run, state, batch):
+    float(run(state, batch))           # compile + warm
+    t0 = time.perf_counter()
+    float(run(state, batch))
+    dt = (time.perf_counter() - t0) / ITERS
+    return dt, BATCH / dt
+
+
+def main():
+    pairs = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    net, state, batch = build()
+    ctrl = make_run(net)
+    cands = [
+        ("lhs", {"xla_tpu_enable_latency_hiding_scheduler": "true"}),
+        ("vmem64", {"xla_tpu_scoped_vmem_limit_kib": "65536"}),
+        ("combo64", {"xla_tpu_enable_latency_hiding_scheduler": "true",
+                     "xla_tpu_scoped_vmem_limit_kib": "65536"}),
+    ]
+    runs = []
+    for name, opts in cands:
+        try:
+            runs.append((name, make_run(net, opts)))
+        except Exception as e:
+            print(f"{name}: UNSUPPORTED ({type(e).__name__}: {e})",
+                  flush=True)
+    measure(ctrl, state, batch)        # warm ctrl outside the pairs
+    for rep in range(pairs):
+        for name, run in runs:
+            c_dt, c_ips = measure(ctrl, state, batch)
+            e_dt, e_ips = measure(run, state, batch)
+            mfu = e_ips * GFLOPS_PER_IMG / 1e3 / PEAK_TFLOPS
+            print(f"[{rep}] ctrl {c_dt*1e3:6.2f} ms ({c_ips:6.1f} img/s) | "
+                  f"{name:8s} {e_dt*1e3:6.2f} ms ({e_ips:6.1f} img/s, "
+                  f"~{mfu*100:.1f}% MFU) {e_ips/c_ips:+.1%}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
