@@ -13,7 +13,8 @@ from yolosharp_tpu.train import TrainState, make_optimizer, make_train_step
 
 
 @pytest.mark.slow
-def test_resume_roundtrip(tmp_path):
+@pytest.mark.parametrize("backend", ["npz", "orbax"])
+def test_resume_roundtrip(tmp_path, backend):
     cfg = ArchCfg(version="v8", size="n", task="detect", nc=4)
     net = YoloNet(cfg)
     variables = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
@@ -35,11 +36,17 @@ def test_resume_roundtrip(tmp_path):
     state, _, _ = step(state, batch, {})
     state, _, _ = step(state, batch, {})
 
-    p = str(tmp_path / "state.npz")
-    save_train_state(p, state, {"epoch": 7})
+    if backend == "orbax":
+        from yolosharp_tpu.ckpt.resume import save_train_state_orbax
+
+        p = str(tmp_path / "state.orbax")
+        save_train_state_orbax(p, state, {"epoch": 7})
+    else:
+        p = str(tmp_path / "state.npz")
+        save_train_state(p, state, {"epoch": 7})
 
     fresh = TrainState.create(variables, tx)
-    restored, meta = restore_train_state(p, fresh)
+    restored, meta = restore_train_state(p, fresh)  # auto-detects backend
     assert meta["epoch"] == 7
     assert int(restored.step) == int(state.step) == 2
 

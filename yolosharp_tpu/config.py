@@ -163,6 +163,11 @@ class Config:
     # The reference has no profiler at all (SURVEY §5); this is the
     # TPU-native observability hook.
     profile_dir: Optional[str] = None
+    # Full-train-state checkpoint backend written each epoch next to
+    # last.bin: "npz" (one portable file) or "orbax" (directory; arrays
+    # written with their shardings — the TPU-native multi-host format).
+    # YoloTask.train(resume_from=...) auto-detects either on restore.
+    resume_format: str = "npz"
     max_labels: Optional[int] = None   # per-image gt padding (None = auto)
     mesh_shape: Optional[Tuple[int, ...]] = None  # data-parallel mesh (auto)
     cache_images: bool = True          # eager RAM cache like the reference

@@ -449,10 +449,18 @@ class BaseTask:
             if stopper.should_stop(fitness, epoch):
                 break
             self.save_weight(os.path.join(weights_dir, "last.bin"))
-            from .ckpt.resume import save_train_state
+            if cfg.resume_format == "orbax":
+                from .ckpt.resume import save_train_state_orbax
 
-            save_train_state(os.path.join(weights_dir, "last_state.npz"),
-                             state, {"epoch": epoch})
+                save_train_state_orbax(
+                    os.path.join(weights_dir, "last_state.orbax"),
+                    state, {"epoch": epoch})
+            else:
+                from .ckpt.resume import save_train_state
+
+                save_train_state(
+                    os.path.join(weights_dir, "last_state.npz"),
+                    state, {"epoch": epoch})
             dt = time.time() - t0
             loss_str = " ".join(f"{n}={v / max(len(train_ds), 1):.3f}"
                                 for n, v in zip(self.loss_names, train_items))
