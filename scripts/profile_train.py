@@ -48,40 +48,39 @@ def main():
     jax.profiler.stop_trace()
     print(f"trace written to {trace_dir}", flush=True)
 
-    # hlo_stats attribution (same recipe as profile_predict.py)
+    # hlo_stats attribution. This xprof emits gviz-JSON (not CSV); the row
+    # fields by position: 2=category, 3=op name, 5=framework op,
+    # 9=total self time (us).
     try:
+        import re
+
         from xprof.convert import raw_to_tool_data as rtd
 
         xs = glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"),
                        recursive=True)
         xs.sort(key=os.path.getmtime)
         data, _ = rtd.xspace_to_tool_data([xs[-1]], "hlo_stats", {})
-        import csv
-        import io
-
-        rows = list(csv.reader(io.StringIO(
-            data.decode() if isinstance(data, bytes) else data)))
-        head = rows[0]
-        ti = next((i for i, h in enumerate(head)
-                   if "total time" in h.lower()), None)
-        if ti is None:
-            print("columns:", head)
-            return
-        cat_i = next((i for i, h in enumerate(head)
-                      if "category" in h.lower()), None)
-        by_cat = {}
-        total = 0.0
-        for r in rows[1:]:
+        s = data.decode() if isinstance(data, bytes) else data
+        by_cat, total, top = {}, 0.0, []
+        for r in re.findall(r'\{"c":\[(.*?)\]\}', s):
+            vals = [v.strip('"')
+                    for v in re.findall(r'\{"v":(.*?)\}(?:,|$)', r)]
+            if len(vals) < 10:
+                continue
             try:
-                t = float(r[ti])
-            except (ValueError, IndexError):
+                t = float(vals[9])
+            except ValueError:
                 continue
             total += t
-            cat = r[cat_i] if cat_i is not None else "?"
-            by_cat[cat] = by_cat.get(cat, 0.0) + t
-        print(f"total device time: {total/1e3:.2f} ms")
-        for cat, t in sorted(by_cat.items(), key=lambda kv: -kv[1])[:14]:
-            print(f"  {cat:40s} {t/1e3:8.2f} ms  {t/total:5.1%}")
+            by_cat[vals[2]] = by_cat.get(vals[2], 0.0) + t
+            top.append((t, vals[2], vals[3], vals[5][:60]))
+        print(f"total device self time: {total/1e3:.2f} ms "
+              f"({T.ITERS} steps)")
+        for cat, t in sorted(by_cat.items(), key=lambda kv: -kv[1])[:12]:
+            print(f"  {cat:32s} {t/1e3:8.2f} ms  {t/total:5.1%}")
+        print("--- top ops ---")
+        for t, cat, name, fw in sorted(top, reverse=True)[:12]:
+            print(f"  {t/1e3:6.2f} ms  {cat:22s} {name:24s} {fw}")
     except Exception as e:
         print(f"hlo_stats unavailable ({type(e).__name__}: {e}); "
               f"inspect {trace_dir} with tensorboard/xprof manually")

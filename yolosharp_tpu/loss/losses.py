@@ -64,9 +64,15 @@ def _dfl_loss(pred_dist_logits, target, reg_max):
     wl = tr.astype(target.dtype) - target
     wr = 1.0 - wl
     logp = jax.nn.log_softmax(pred_dist_logits.astype(jnp.float32), axis=-1)
-    ce_l = -jnp.take_along_axis(logp, tl[..., None], -1)[..., 0]
-    ce_r = -jnp.take_along_axis(logp, jnp.clip(tr, 0, reg_max - 1)[..., None],
-                                -1)[..., 0]
+    # bin selection as a masked reduce, NOT take_along_axis: on TPU the
+    # gather (and its scatter-add transpose in backward) lowers HBM-bound —
+    # xprof measured the two gathers at ~4 ms of a ~13 ms v8n-320 b16 train
+    # step. The where+sum fuses into one VPU pass and its gradient is the
+    # same mask (no scatter). Exact: selects the identical element.
+    bins = jnp.arange(reg_max, dtype=jnp.int32)
+    ce_l = -jnp.where(bins == tl[..., None], logp, 0.0).sum(-1)
+    tr_c = jnp.clip(tr, 0, reg_max - 1)
+    ce_r = -jnp.where(bins == tr_c[..., None], logp, 0.0).sum(-1)
     return (ce_l * wl + ce_r * wr).mean(-1)
 
 
