@@ -76,6 +76,20 @@ def _dfl_loss(pred_dist_logits, target, reg_max):
     return (ce_l * wl + ce_r * wr).mean(-1)
 
 
+def take_gt(values, idx):
+    """values: (B, M, ...), idx: (B, A) int32 -> (B, A, ...) selection as a
+    one-hot matmul over the small gt axis M. On TPU take_along_axis lowers
+    as an HBM-bound gather (and a scatter-add in any backward); the
+    one-hot dot rides the MXU/VPU and its gradient is another dot. Exact:
+    each output element is value*1.0 plus zeros."""
+    m = values.shape[1]
+    oh = jax.nn.one_hot(idx, m, dtype=values.dtype)       # (B, A, M)
+    flat = values.reshape(values.shape[0], m, -1)         # (B, M, C)
+    out = jnp.einsum("bam,bmc->bac", oh, flat,
+                     preferred_element_type=values.dtype)
+    return out.reshape(idx.shape + values.shape[2:])
+
+
 class DetOut(NamedTuple):
     """Assignment byproducts needed by seg/pose heads."""
 
@@ -330,8 +344,7 @@ def pose_loss(preds: Dict, batch: Dict, *, nc: int, kpt_num: int = 17,
     gt_xy = gt_kpts[..., :2] * scale
     gt_kpts = jnp.concatenate([gt_xy, gt_kpts[..., 2:]], -1)
 
-    sel = jnp.take_along_axis(
-        gt_kpts, out.target_gt_idx[..., None, None], axis=1)  # (B, A, K, kd)
+    sel = take_gt(gt_kpts, out.target_gt_idx)               # (B, A, K, kd)
     sel_xy = sel[..., :2] / out.stride_tensor[None, :, :, None][..., 0:1]
     sel = jnp.concatenate([sel_xy, sel[..., 2:]], -1)
 
