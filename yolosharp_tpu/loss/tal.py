@@ -115,10 +115,14 @@ def assign(pd_scores: jnp.ndarray,      # (B, A, nc) sigmoided
             anc_points, gt_bboxes, mask_gt, min_stride, stride_val)
 
     # --- box metrics (Tal.cs:114-137) ---
+    # class-score selection as a one-hot dot over nc, not take_along_axis:
+    # the (B, M, A) gather lowers HBM-bound on TPU while the dot rides the
+    # MXU. Exact (one 1.0 per row, zeros elsewhere).
     labels = jnp.clip(gt_labels, 0, nc - 1)
-    bbox_scores = jnp.take_along_axis(
-        pd_scores.transpose(0, 2, 1),          # (B, nc, A)
-        labels[:, :, None].astype(jnp.int32), axis=1)  # (B, M, A)
+    lab_oh = jax.nn.one_hot(labels.astype(jnp.int32), nc,
+                            dtype=pd_scores.dtype)          # (B, M, nc)
+    bbox_scores = jnp.einsum("bmc,bac->bma", lab_oh, pd_scores,
+                             preferred_element_type=pd_scores.dtype)
     valid = mask_in_gts & mask_gt[..., None]
     bbox_scores = jnp.where(valid, bbox_scores, 0.0)
 
