@@ -57,7 +57,9 @@ def build():
     return net, state, batch
 
 
-def make_run(net, compiler_options=None):
+def make_run(net, compiler_options=None, s2d_train=0):
+    from yolosharp_tpu.nn.common import s2d_stride2
+
     def scan_steps(state, batch):
         images = batch["images"].astype(jnp.bfloat16)
 
@@ -65,8 +67,9 @@ def make_run(net, compiler_options=None):
             def loss_of(params):
                 variables = {"params": params,
                              "batch_stats": st.batch_stats}
-                preds, upd = net.apply(variables, images, True,
-                                       mutable=["batch_stats"])
+                with s2d_stride2(s2d_train, allow_train=s2d_train > 0):
+                    preds, upd = net.apply(variables, images, True,
+                                           mutable=["batch_stats"])
                 loss, items = detection_loss(preds["one2many"], batch,
                                              nc=80)
                 return loss, (items, upd["batch_stats"])
@@ -102,15 +105,20 @@ def main():
     net, state, batch = build()
     ctrl = make_run(net)
     cands = [
-        ("lhs", {"xla_tpu_enable_latency_hiding_scheduler": "true"}),
-        ("vmem64", {"xla_tpu_scoped_vmem_limit_kib": "65536"}),
+        ("lhs", {"xla_tpu_enable_latency_hiding_scheduler": "true"}, 0),
+        ("vmem64", {"xla_tpu_scoped_vmem_limit_kib": "65536"}, 0),
         ("combo64", {"xla_tpu_enable_latency_hiding_scheduler": "true",
-                     "xla_tpu_scoped_vmem_limit_kib": "65536"}),
+                     "xla_tpu_scoped_vmem_limit_kib": "65536"}, 0),
+        ("s2d3", None, 3),       # train-mode s2d stem rewrite
+        ("s2d16", None, 16),     # + conv1
     ]
+    want = set(sys.argv[2:])
     runs = []
-    for name, opts in cands:
+    for name, opts, s2d in cands:
+        if want and name not in want:
+            continue
         try:
-            runs.append((name, make_run(net, opts)))
+            runs.append((name, make_run(net, opts, s2d_train=s2d)))
         except Exception as e:
             print(f"{name}: UNSUPPORTED ({type(e).__name__}: {e})",
                   flush=True)

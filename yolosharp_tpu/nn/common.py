@@ -162,17 +162,28 @@ def s2d_active() -> int:
     return getattr(_S2D, "max_cin", 0)
 
 
+def s2d_train_active() -> bool:
+    """Whether the rewrite also applies to TRAIN-mode forwards."""
+    return getattr(_S2D, "train_ok", False)
+
+
 @contextlib.contextmanager
-def s2d_stride2(max_cin: int = 3):
+def s2d_stride2(max_cin: int = 3, allow_train: bool = False):
     """Trace-time switch: stride-2 3x3 ConvBNs with c1 <= max_cin are
     rewritten as space-to-depth + stride-1 2x2 conv (exact, params
-    unchanged). Wrap the traced call like fused_inference()."""
-    prev = s2d_active()
+    unchanged). Wrap the traced call like fused_inference().
+
+    allow_train extends the rewrite to train-mode forwards (BN stats and
+    gradients are exact: same conv output, kernel grad flows through the
+    repack transposes)."""
+    prev, prev_t = s2d_active(), s2d_train_active()
     _S2D.max_cin = max_cin
+    _S2D.train_ok = allow_train
     try:
         yield
     finally:
         _S2D.max_cin = prev
+        _S2D.train_ok = prev_t
 
 
 def space_to_depth2(x):
@@ -403,7 +414,8 @@ class ConvBN(nn.Module):
         # space-to-depth rewrite of small-channel stride-2 3x3 convs (exact;
         # see s2d_stride2 above). Param tree untouched: the (3,3,C,c2)
         # kernel leaf is repacked to (2,2,4C,c2) inside the traced graph.
-        use_s2d = (not train and fused_inference_active()
+        use_s2d = (((not train and fused_inference_active())
+                    or (train and s2d_train_active()))
                    and 0 < x.shape[-1] <= s2d_active()
                    and self.k == 3 and self.s == 2 and self.d == 1
                    and self.g == 1 and not self.use_bias
