@@ -131,6 +131,15 @@ class Config:
     # traffic). The host path (device_augment=False) is always
     # dataset-wide.
     mosaic_partner_pool: int = 0
+    # FSDP/ZeRO-style training-state sharding over the data mesh
+    # (parallel/fsdp.py): parameters + optimizer moments are sharded
+    # per-leaf along the largest divisible axis; XLA all-gathers each
+    # layer's params on use and reduce-scatters its grads over ICI (GSPMD
+    # annotations, no hand-written collectives). Off by default — every
+    # supported model (v12x ~110M params) fits one chip replicated, so DP
+    # is the parity configuration; fsdp=True is the memory/scale-out axis
+    # (the reference has no distributed training at all, SURVEY.md §2).
+    fsdp: bool = False
     # True fp16 compute with the reference's dynamic loss scaling
     # (Amp.cs:3-176: init 65536, /2 on non-finite, x2 every 2000 good
     # steps). Off by default: ScalarType.float16 maps to bf16 on TPU,

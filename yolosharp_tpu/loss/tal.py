@@ -71,13 +71,38 @@ def _select_candidates_in_rotated_gts(anc_points, gt_bboxes, mask_gt,
             & (ap_ad >= 0) & (ap_ad <= norm_ad))
 
 
-def _select_topk_candidates(metrics, mask_gt, topk):
-    """Reference-exact top-k mask incl. the scatter-dedup quirk."""
+def _topk_mask_iter(metrics, topk):
+    """0/1 membership mask of the top-k entries along the last axis.
+
+    Exactly equivalent to one_hot(lax.top_k(metrics, k).indices).sum(-2)
+    for the membership question: both lax.top_k and argmax break ties by
+    smallest index, so the selected SET is identical. K argmax+mask passes
+    are plain VPU reductions; lax.top_k lowers to a sort on TPU that xprof
+    attributed ~6% of the v8n train step to (docs/ROUND_NOTES.md round 3).
+    """
     a = metrics.shape[-1]
-    _, topk_idxs = jax.lax.top_k(metrics, topk)  # (B, M, K)
-    idxs = jnp.where(mask_gt[..., None], topk_idxs, 0)
-    count = jax.nn.one_hot(idxs, a, dtype=jnp.int32).sum(-2)  # (B, M, A)
-    return jnp.where(count > 1, 0, count).astype(metrics.dtype)
+    neg = jnp.finfo(metrics.dtype).min
+
+    def body(carry, _):
+        m, mask = carry
+        oh = jax.nn.one_hot(m.argmax(-1), a, dtype=metrics.dtype)
+        return (jnp.where(oh > 0, neg, m), mask + oh), None
+
+    (_, mask), _ = jax.lax.scan(
+        body, (metrics, jnp.zeros_like(metrics)), None, length=topk)
+    return mask
+
+
+def _select_topk_candidates(metrics, mask_gt, topk):
+    """Reference-exact top-k mask incl. the scatter-dedup quirk.
+
+    The reference (Tal.cs:155-165) masked-fills invalid-gt rows' indices to
+    0 and zeroes any anchor counted >1; since top-k indices are distinct,
+    that reduces to: membership mask for valid gt rows, all-zero rows for
+    invalid gts — which is what the iterative mask * mask_gt computes.
+    """
+    mask = _topk_mask_iter(metrics, topk)
+    return mask * mask_gt[..., None].astype(metrics.dtype)
 
 
 @partial(jax.jit, static_argnames=("topk", "topk2", "num_classes", "alpha",
@@ -151,8 +176,9 @@ def assign(pd_scores: jnp.ndarray,      # (B, A, nc) sigmoided
     # --- secondary top-k filter (Tal.cs:242-250) ---
     if topk2 != topk:
         am2 = align_metric * mask_pos
-        _, idx2 = jax.lax.top_k(am2, topk2)    # (B, M, K2)
-        sel = jax.nn.one_hot(idx2, a, dtype=mask_pos.dtype).sum(-2)
+        # membership-only top-k again (see _topk_mask_iter); the reference
+        # keeps anchors whose one_hot count > 0 (Tal.cs:242-250)
+        sel = _topk_mask_iter(am2, topk2)
         mask_pos = mask_pos * jnp.where(sel > 0, 1.0, 0.0)
         fg = mask_pos.sum(-2)
 

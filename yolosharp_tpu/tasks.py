@@ -388,9 +388,19 @@ class BaseTask:
             train_dl.partner_group = (cfg.batch_size
                                       // len(mesh.devices.flat))
         train_loss_fn, _ = self._loss_fns()
+        use_fsdp = bool(cfg.fsdp and mesh is not None)
+        if use_fsdp:
+            from .parallel.fsdp import fsdp_shard_state, sharded_param_bytes
+
+            state = fsdp_shard_state(state, mesh)
+            print(f"FSDP: train state sharded over "
+                  f"{len(mesh.devices.flat)} devices "
+                  f"(~{sharded_param_bytes(state, mesh) / 2**20:.1f} "
+                  f"MiB/device).")
         step_fn = make_train_step(self.net, train_loss_fn,
                                   compute_dtype=cfg.compute_dtype, mesh=mesh,
-                                  dynamic_loss_scale=cfg.true_fp16)
+                                  dynamic_loss_scale=cfg.true_fp16,
+                                  fsdp=use_fsdp)
 
         stopper = EarlyStopping(cfg.patience)
         best_fitness = -float("inf")

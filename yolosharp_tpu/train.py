@@ -190,12 +190,19 @@ def make_train_step(net, loss_fn, *, compute_dtype=jnp.float32,
                     skip_nonfinite: bool = True,
                     dynamic_loss_scale: bool = False,
                     scale_growth_interval: int = 2000,
-                    max_loss_scale: float = 65536.0):
+                    max_loss_scale: float = 65536.0,
+                    fsdp: bool = False):
     """Build the jitted data-parallel train step.
 
     loss_fn(preds, batch, **loss_kwargs) -> (scalar_loss, items).
     When a mesh is given, batch args are sharded on the data axis and the
     state is replicated — XLA derives the gradient psum over ICI.
+
+    fsdp=True (requires mesh) switches to ZeRO-style sharded state: the
+    caller commits the TrainState with `parallel.fsdp.fsdp_shard_state`
+    and the jit inherits those shardings — XLA all-gathers each layer's
+    params on use and reduce-scatters its grads, all over ICI. Output
+    state keeps the input shardings by GSPMD propagation.
 
     skip_nonfinite mirrors the reference AMP's inf/NaN-gradient step
     skipping (Utils/Amp.cs:350-361): if any gradient is non-finite, the
@@ -259,6 +266,11 @@ def make_train_step(net, loss_fn, *, compute_dtype=jnp.float32,
                                   loss_scale=new_scale, grow_count=new_grow)
         return new_state, loss, items
 
+    if mesh is not None and fsdp:
+        # shardings are inherited from the committed arguments (state via
+        # fsdp_shard_state, batch via shard_batch); outputs follow GSPMD
+        # propagation so new_state stays FSDP-sharded across steps
+        return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
     if mesh is not None:
         bsh = batch_sharding(mesh)
         rep = replicated(mesh)
