@@ -64,6 +64,11 @@ XLA_TUNING = os.environ.get("BENCH_XLA_TUNING", "1") == "1"
 # as the exact stride-1 repacked conv. Measured +2.8..3.6% paired on v5e.
 # BENCH_HOST_S2D=0 skips the packed measurement.
 HOST_S2D = os.environ.get("BENCH_HOST_S2D", "1") == "1"
+# deep packing: the stem also EMITS its output space-to-depth packed and
+# conv1 consumes it (both early convs run with >=4x channels / full MXU
+# lanes; still zero in-graph transposes — nn/common.py
+# repack_s2d_kernel_deep). BENCH_DEEP_S2D=0 skips it.
+DEEP_S2D = os.environ.get("BENCH_DEEP_S2D", "1") == "1"
 
 
 def build_calibrated_v8s(key, batch=BATCH, imgsz=IMGSZ):
@@ -143,11 +148,11 @@ def main():
 
     from yolosharp_tpu.nn import s2d_packed_input
 
-    def make_predict(int8, packed=False):
+    def make_predict(int8, packed=False, deep=False):
         def predict(v, im):
             with fused_inference(), pallas_conv(False), \
                     s2d_stride2(S2D_MAX_CIN), quant_int8(int8), \
-                    s2d_packed_input(packed):
+                    s2d_packed_input(packed, deep=deep):
                 preds = net.apply(v, im, False)
             if TOPK_DECODE:
                 dec, trunc = decode_inference_topk(
@@ -214,6 +219,15 @@ def main():
         if dt_packed < result["dt"]:
             tag = "+seldec" if TOPK_DECODE else ""
             result = {"config": f"bf16+hosts2d{tag}", "dt": dt_packed}
+        if DEEP_S2D:
+            dt_deep = measure(make_predict(int8=False, packed=True,
+                                           deep=True),
+                              fused_vars, im=xp, tune=False)
+            extra.update(hosts2d_deep_ips=round(BATCH / dt_deep, 2))
+            if dt_deep < result["dt"]:
+                tag = "+seldec" if TOPK_DECODE else ""
+                result = {"config": f"bf16+hosts2d-deep{tag}",
+                          "dt": dt_deep}
 
     if TRY_INT8:
         # per-workload activation calibration through the measured graph

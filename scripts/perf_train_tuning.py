@@ -38,7 +38,7 @@ GFLOPS_PER_IMG = 8.7 / 4 * 3
 PEAK_TFLOPS = 197.0
 
 
-def build():
+def build(render: bool = False):
     cfg = ArchCfg(version="v8", size="n", task="detect", nc=80)
     net = YoloNet(cfg)
     variables = net.init(jax.random.PRNGKey(0),
@@ -47,27 +47,69 @@ def build():
     state = TrainState.create(variables, tx)
     rng = np.random.default_rng(0)
     batch = {
-        "images": rng.uniform(0, 1, (BATCH, IMGSZ, IMGSZ, 3)
-                              ).astype(np.float32),
         "cls": rng.integers(0, 80, (BATCH, 16)).astype(np.int32),
         "bboxes": rng.uniform(0.2, 0.6, (BATCH, 16, 4)).astype(np.float32),
         "mask_gt": np.ones((BATCH, 16), bool),
     }
+    if render:
+        # the production configuration: uint8 source pool + device-side
+        # mosaic/perspective/HSV render fused into the step
+        from yolosharp_tpu.config import Config
+        from yolosharp_tpu.data import device_augment as DA
+        from yolosharp_tpu.data.labels import LabelRecord
+
+        dcfg = Config(train_data_path="", image_size=IMGSZ)
+        recs = [LabelRecord(im_file=f"synth{i}",
+                            img=rng.integers(0, 255, (IMGSZ, IMGSZ, 3),
+                                             np.uint8),
+                            cls=np.array([1, 2], np.float32),
+                            bboxes=np.array([[10, 10, 100, 100],
+                                             [50, 50, 200, 200]],
+                                            np.float32),
+                            org_shape=(IMGSZ, IMGSZ),
+                            resized_shape=(IMGSZ, IMGSZ))
+                for i in range(BATCH)]
+        plan, _ = DA.plan_mosaic_batch(recs, dcfg, rng)
+        pool = np.stack([r.img for r in recs])
+        batch.update(aug_pool=pool, aug_src_idx=plan.src_idx,
+                     aug_rects=plan.rects, aug_pads=plan.pads,
+                     aug_minv=plan.minv, aug_persp=plan.persp,
+                     aug_flips=plan.flips, aug_hsv=plan.hsv)
+    else:
+        batch["images"] = rng.uniform(
+            0, 1, (BATCH, IMGSZ, IMGSZ, 3)).astype(np.float32)
     batch = jax.device_put(batch)
     return net, state, batch
 
 
-def make_run(net, compiler_options=None, s2d_train=0):
-    from yolosharp_tpu.nn.common import s2d_stride2
+def make_run(net, compiler_options=None, s2d_train=0, packed_render=False,
+             render=False):
+    import contextlib
+
+    from yolosharp_tpu.nn.common import s2d_packed_input, s2d_stride2
 
     def scan_steps(state, batch):
-        images = batch["images"].astype(jnp.bfloat16)
+        if render:
+            from yolosharp_tpu.data.device_augment import \
+                mosaic_perspective_images
+
+            arrays = (batch["aug_src_idx"], batch["aug_rects"],
+                      batch["aug_pads"], batch["aug_minv"],
+                      batch["aug_persp"], batch["aug_flips"],
+                      batch["aug_hsv"])
+            images = mosaic_perspective_images(
+                batch["aug_pool"], arrays, IMGSZ, packed=packed_render)
+            images = images.astype(jnp.bfloat16) / 255.0
+        else:
+            images = batch["images"].astype(jnp.bfloat16)
 
         def one_step(st, _):
             def loss_of(params):
                 variables = {"params": params,
                              "batch_stats": st.batch_stats}
-                with s2d_stride2(s2d_train, allow_train=s2d_train > 0):
+                ctx = (s2d_packed_input() if packed_render
+                       else contextlib.nullcontext())
+                with s2d_stride2(s2d_train, allow_train=s2d_train > 0), ctx:
                     preds, upd = net.apply(variables, images, True,
                                            mutable=["batch_stats"])
                 loss, items = detection_loss(preds["one2many"], batch,
@@ -102,23 +144,34 @@ def measure(run, state, batch):
 
 def main():
     pairs = int(sys.argv[1]) if len(sys.argv) > 1 else 3
-    net, state, batch = build()
-    ctrl = make_run(net)
-    cands = [
-        ("lhs", {"xla_tpu_enable_latency_hiding_scheduler": "true"}, 0),
-        ("vmem64", {"xla_tpu_scoped_vmem_limit_kib": "65536"}, 0),
-        ("combo64", {"xla_tpu_enable_latency_hiding_scheduler": "true",
-                     "xla_tpu_scoped_vmem_limit_kib": "65536"}, 0),
-        ("s2d3", None, 3),       # train-mode s2d stem rewrite
-        ("s2d16", None, 16),     # + conv1
-    ]
     want = set(sys.argv[2:])
+    render = bool({"render", "renderpack"} & want) if want else False
+    net, state, batch = build(render=render)
+    ctrl = make_run(net, render=render)
+    cands = [
+        ("lhs", {"xla_tpu_enable_latency_hiding_scheduler": "true"}, 0,
+         False),
+        ("vmem64", {"xla_tpu_scoped_vmem_limit_kib": "65536"}, 0, False),
+        ("combo64", {"xla_tpu_enable_latency_hiding_scheduler": "true",
+                     "xla_tpu_scoped_vmem_limit_kib": "65536"}, 0, False),
+        ("s2d3", None, 3, False),     # train-mode s2d stem rewrite
+        ("s2d16", None, 16, False),   # + conv1
+        # production device-augment render fused into the step, with the
+        # canvas emitted space-to-depth packed at the gather (free) and
+        # the stem run as the repacked train-mode conv. Control for these
+        # is the plain render ("render" itself measures render vs ctrl).
+        ("render", None, 0, False),
+        ("renderpack", None, 0, True),
+    ]
     runs = []
-    for name, opts, s2d in cands:
+    for name, opts, s2d, prender in cands:
         if want and name not in want:
             continue
         try:
-            runs.append((name, make_run(net, opts, s2d_train=s2d)))
+            runs.append((name, make_run(net, opts, s2d_train=s2d,
+                                        packed_render=prender,
+                                        render=render or prender
+                                        or name == "render")))
         except Exception as e:
             print(f"{name}: UNSUPPORTED ({type(e).__name__}: {e})",
                   flush=True)

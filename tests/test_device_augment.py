@@ -123,6 +123,79 @@ def test_device_mosaic_matches_host():
     assert float(np.median(diff)) <= 2.0
 
 
+def test_packed_render_and_train_step_match_plain():
+    """packed=True render == space_to_depth2 of the plain render (the
+    repack is free: only the gather's constant coordinate order changes),
+    and a TRAIN-mode loss+grad through the packed stem
+    (s2d_packed_input train path, nn/common.py) matches the plain path."""
+    import jax
+    import jax.numpy as jnp
+
+    from yolosharp_tpu.loss import detection_loss
+    from yolosharp_tpu.nn import ArchCfg, YoloNet
+    from yolosharp_tpu.nn.common import s2d_packed_input, space_to_depth2
+
+    imgsz = 64
+    rng = np.random.default_rng(5)
+    recs = [_mk_record(rng, 64, 48, 3, imgsz), _mk_record(rng, 40, 64, 2, imgsz),
+            _mk_record(rng, 64, 64, 2, imgsz), _mk_record(rng, 56, 40, 3, imgsz)]
+    cfg = Config(image_size=imgsz, degrees=10.0, translate=0.1, scale=0.5,
+                 shear=2.0, perspective=0.0005, flip_lr=0.5, flip_ud=0.0,
+                 hsv_h=0.015, hsv_s=0.7, hsv_v=0.4)
+    plan, _ = DA.plan_mosaic_batch(recs, cfg, rng)
+    pool = np.full((4, imgsz, imgsz, 3), 114, np.uint8)
+    for k, r in enumerate(recs):
+        h, w = r.resized_shape
+        pool[k, :h, :w] = r.img
+    arrays = (plan.src_idx, plan.rects, plan.pads, plan.minv, plan.persp,
+              plan.flips, plan.hsv)
+    plain = jax.jit(lambda p, a: DA.mosaic_perspective_images(p, a, imgsz)
+                    )(pool, arrays)
+    packed = jax.jit(
+        lambda p, a: DA.mosaic_perspective_images(p, a, imgsz, packed=True)
+    )(pool, arrays)
+    assert packed.shape == (4, imgsz // 2, imgsz // 2, 12)
+    np.testing.assert_allclose(np.asarray(packed),
+                               np.asarray(space_to_depth2(plain)),
+                               rtol=1e-5, atol=1e-4)
+
+    net = YoloNet(ArchCfg(version="v8", size="n", task="detect", nc=8))
+    variables = net.init(jax.random.PRNGKey(0),
+                         jnp.zeros((1, imgsz, imgsz, 3), jnp.float32), False)
+    batch = {"cls": rng.integers(0, 8, (4, 6)).astype(np.int32),
+             "bboxes": rng.uniform(0.2, 0.6, (4, 6, 4)).astype(np.float32),
+             "mask_gt": np.ones((4, 6), bool)}
+
+    def loss_of(params, images, use_packed):
+        import contextlib
+        ctx = s2d_packed_input() if use_packed else contextlib.nullcontext()
+        with ctx:
+            preds, upd = net.apply(
+                {"params": params, "batch_stats": variables["batch_stats"]},
+                images, True, mutable=["batch_stats"])
+        loss, _ = detection_loss(preds["one2many"], batch, nc=8)
+        return loss, upd["batch_stats"]
+
+    gfn = jax.value_and_grad(loss_of, has_aux=True)
+    (l0, bs0), g0 = gfn(variables["params"], plain / 255.0, False)
+    (l1, bs1), g1 = gfn(variables["params"], packed / 255.0, True)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(bs0),
+                    jax.tree_util.tree_leaves(bs1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+    # grads are reduction-order sensitive (the 2x2 repacked conv's kernel
+    # grad sums the same terms in a different bracketing); loss and BN
+    # stats above are the tight equality — grads checked at 1% rel with
+    # an atol scaled to each leaf's magnitude (near-zero entries of a
+    # ~1e2-magnitude kernel grad carry f32 cancellation noise)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        a, b = np.asarray(a), np.asarray(b)
+        atol = max(1e-4 * float(np.abs(a).max()), 1e-5)
+        np.testing.assert_allclose(a, b, rtol=1e-2, atol=atol)
+
+
 def test_device_hsv_matches_cv2():
     import jax
     import jax.numpy as jnp

@@ -188,6 +188,71 @@ def test_s2d_packed_input_matches_plain_forward():
                                        rtol=2e-3, atol=2e-3)
 
 
+def test_s2d_deep_repack_exact():
+    """repack_s2d_kernel_deep: packed-in, packed-OUT stem conv (stride-2
+    over the s2d input emitting the s2d output) == s2d of the original
+    stride-2 conv, for the 3x3/p1 and 6x6/p2 (v5u) stems; chaining with a
+    consuming repack_s2d_kernel conv reproduces stem+conv1 exactly."""
+    from yolosharp_tpu.nn.common import (repack_s2d_kernel,
+                                         repack_s2d_kernel_deep,
+                                         space_to_depth2)
+
+    rng = np.random.default_rng(13)
+    conv = lambda x, w, s, pad: jax.lax.conv_general_dilated(
+        x, w, (s, s) if isinstance(s, int) else s, pad,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    for k, p in [(3, 1), (6, 2)]:
+        x = jnp.asarray(rng.normal(size=(2, 32, 32, 3)), jnp.float32)
+        w = jnp.asarray(rng.normal(size=(k, k, 3, 5)), jnp.float32)
+        ref = space_to_depth2(conv(x, w, 2, ((p, p), (p, p))))
+        wd, pad = repack_s2d_kernel_deep(w, p)
+        got = conv(space_to_depth2(x), wd, 2, pad)
+        assert got.shape == ref.shape == (2, 8, 8, 20)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+    # stem(3x3/s2) -> conv1(3x3/s2) chain entirely in packed space
+    x = jnp.asarray(rng.normal(size=(2, 64, 64, 3)), jnp.float32)
+    w0 = jnp.asarray(rng.normal(size=(3, 3, 3, 4)), jnp.float32)
+    w1 = jnp.asarray(rng.normal(size=(3, 3, 4, 6)), jnp.float32)
+    ref = conv(conv(x, w0, 2, ((1, 1), (1, 1))), w1, 2, ((1, 1), (1, 1)))
+    wd, pad = repack_s2d_kernel_deep(w0, 1)
+    z = conv(space_to_depth2(x), wd, 2, pad)
+    got = conv(z, repack_s2d_kernel(w1), 1, ((1, 0), (1, 0)))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_s2d_deep_packed_matches_plain_forward():
+    """Full-model fused predict under s2d_packed_input(deep=True) — stem
+    emits space-to-depth, conv1 consumes it, no in-graph transpose — ==
+    plain eval forward, for the 3x3 stem (v8) and 6x6 stem (v5u)."""
+    from yolosharp_tpu.nn import fused_inference
+    from yolosharp_tpu.nn.common import host_space_to_depth2, s2d_packed_input
+
+    import jax.tree_util as jtu
+
+    for version in ("v8", "v5u"):
+        cfg = ArchCfg(version=version, size="n", task="detect", nc=8)
+        net, variables, _ = _init(cfg)
+        variables = dict(variables)
+        variables["batch_stats"] = jtu.tree_map_with_path(
+            lambda p, v: v + 0.1 if p[-1].key == "mean" else v * 1.5 + 0.01,
+            variables["batch_stats"])
+        rng = np.random.default_rng(17)
+        xin = np.asarray(rng.uniform(0, 1, (1, 64, 64, 3)), np.float32)
+        before = net.apply(variables, jnp.asarray(xin), False)
+        fused_vars = fold_bn(variables)
+        packed = jnp.asarray(host_space_to_depth2(xin))
+        with fused_inference(), s2d_packed_input(deep=True):
+            after = net.apply(fused_vars, packed, False)
+        flat_b = jax.tree_util.tree_leaves(before)
+        flat_a = jax.tree_util.tree_leaves(after)
+        assert len(flat_a) == len(flat_b)
+        for a, b in zip(flat_a, flat_b):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-3, atol=2e-3)
+
+
 def test_native_s2d_pack_matches_numpy():
     """native.s2d_pack_u8 (C++ threaded) == space_to_depth2 semantics."""
     from yolosharp_tpu.native import s2d_pack_u8

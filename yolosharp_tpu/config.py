@@ -160,6 +160,25 @@ class Config:
     # in-process on a 1-core host vs 16 ms standalone — and would erase
     # the ~0.6 ms/batch device win in any host-bound pipeline).
     host_s2d: Optional[bool] = None
+    # Deep packing on top of host_s2d: the stem also EMITS its output
+    # space-to-depth packed (a second pure weights transform,
+    # nn/common.py repack_s2d_kernel_deep) and conv1 consumes the packed
+    # tensor as the exact 2x2 stride-1 repacked conv — BOTH early convs
+    # then run with >=4x the channels (full MXU lanes instead of the
+    # measured 32/128-lane pathology) and there is still no in-graph
+    # transpose anywhere. Measured +15% device throughput paired on v5e
+    # (v8s-640 b32: 1935 vs 1682 img/s same run). Applies whenever the
+    # packed path is active; exact for all four stems.
+    host_s2d_deep: bool = True
+    # TRAIN-side packing for the device-augment path: the mosaic render's
+    # coordinate grid is a compile-time constant, so the canvas is emitted
+    # 2x2 space-to-depth packed at ZERO cost (the gather writes the packed
+    # layout directly — data/device_augment.py packed=True) and the stem
+    # trains as the exact repacked 2x2 conv (BN stats and grads exact;
+    # oracle test in test_device_augment.py). Measured +0.7..2.1% step
+    # throughput in 3/3 pairs on v5e (v8n-320 b16). No effect on
+    # host-prepared (non-device-augment) batches.
+    train_packed_render: bool = True
     # TPU compiler tuning for the jitted predict programs: latency-hiding
     # scheduler + 64 MiB scoped VMEM. Measured +1.2-2.4% paired on v5e
     # for UNPACKED predict programs but consistently negative stacked on

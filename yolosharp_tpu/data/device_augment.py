@@ -385,11 +385,20 @@ def _sample_one(pool_flat, page, sy, sx, s, fill, nearest):
     return top * (1 - wy) + bot * wy
 
 
-def mosaic_perspective_images(pool, plan_arrays, imgsz: int):
+def mosaic_perspective_images(pool, plan_arrays, imgsz: int,
+                              packed: bool = False):
     """(B, s, s, 3) uint8 source pool + plan -> (B, s, s, 3) float images.
 
     One fused program: flip -> M^-1 -> tile select -> bilinear gather ->
     HSV. Call under jax.jit (or let the train step fuse it).
+
+    packed=True emits the canvas 2x2 space-to-depth packed instead:
+    (B, s/2, s/2, 12) with channel index (py*2+px)*3 + c (the
+    space_to_depth2 convention, nn/common.py). The packing costs NOTHING
+    in-graph: the sampling coordinate grid (a compile-time constant) is
+    enumerated in packed pixel order, so the gather writes the packed
+    layout directly and the final reshape is contiguous — no transpose.
+    Pairs with the stem's s2d_packed_input ConvBN rewrite for training.
     """
     import jax
     import jax.numpy as jnp
@@ -400,6 +409,10 @@ def mosaic_perspective_images(pool, plan_arrays, imgsz: int):
     pool_flat = pool.reshape(b * s * s, pool.shape[-1]).astype(jnp.float32)
 
     ys, xs = jnp.mgrid[0:s, 0:s]
+    if packed:
+        # enumerate canvas pixels in packed order: (h, w, py, px) row-major
+        ys = ys.reshape(s // 2, 2, s // 2, 2).transpose(0, 2, 1, 3)
+        xs = xs.reshape(s // 2, 2, s // 2, 2).transpose(0, 2, 1, 3)
     xs = xs.reshape(-1).astype(jnp.float32)
     ys = ys.reshape(-1).astype(jnp.float32)
 
@@ -425,8 +438,11 @@ def mosaic_perspective_images(pool, plan_arrays, imgsz: int):
         sx = qx - jnp.take(pad4[:, 0], tile_c)
         sy = qy - jnp.take(pad4[:, 1], tile_c)
         vals = _sample_one(pool_flat, page, sy, sx, s, 114.0, nearest=False)
-        img = jnp.where(any_t[:, None], vals, 114.0).reshape(s, s, 3)
-        return apply_hsv(img, gains)
+        img = jnp.where(any_t[:, None], vals, 114.0)
+        if packed:
+            img = apply_hsv(img.reshape(s // 2, s // 2, 4, 3), gains)
+            return img.reshape(s // 2, s // 2, 12)
+        return apply_hsv(img.reshape(s, s, 3), gains)
 
     return jax.vmap(per_image)(src_idx, rects, pads, minv, persp, flips,
                                hsv)

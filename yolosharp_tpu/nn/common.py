@@ -212,19 +212,48 @@ def s2d_packed_active() -> bool:
     return getattr(_S2D_PACKED, "on", False)
 
 
+def s2d_deep_active() -> bool:
+    return getattr(_S2D_PACKED, "deep", False)
+
+
+def _s2d_pending() -> int:
+    """Unpacked channel count of an s2d-packed tensor flowing between two
+    consecutive ConvBN calls under deep packing (0 = none)."""
+    return getattr(_S2D_PACKED, "pending", 0)
+
+
+def _s2d_set_pending(c: int) -> None:
+    _S2D_PACKED.pending = c
+
+
 @contextlib.contextmanager
-def s2d_packed_input(enable: bool = True):
+def s2d_packed_input(enable: bool = True, deep: bool = False):
     """Trace-time switch: the network input is ALREADY 2x2 space-to-depth
     packed on the host (host_space_to_depth2). The stem — the first
     stride-2 3x3 ConvBN, recognized by its packed 12-channel input — runs
     as the exact stride-1 2x2 repacked conv directly on the packed input
-    (no in-graph transpose). Exact; params unchanged."""
-    prev = s2d_packed_active()
+    (no in-graph transpose). Exact; params unchanged.
+
+    deep=True additionally keeps the stem's OUTPUT in space-to-depth form
+    (the stem runs as a stride-2 conv over the packed input that emits
+    s2d(y) directly — 4x the channels at half the resolution, a pure
+    weights transform) and the NEXT stride-2 3x3 ConvBN (conv1 in all four
+    archs, Yolo.cs:41-89/137-198) consumes that packed tensor as the exact
+    2x2 stride-1 repacked conv, emitting a plain tensor. Both early convs
+    then run with >=4x the channels (full MXU lanes) and there is still no
+    in-graph space-to-depth transpose anywhere. If the layer after the
+    stem is not an eligible 3x3/s2 ConvBN the trace fails loudly."""
+    prev, prev_deep = s2d_packed_active(), s2d_deep_active()
+    prev_pending = _s2d_pending()
     _S2D_PACKED.on = enable
+    _S2D_PACKED.deep = enable and deep
+    _S2D_PACKED.pending = 0
     try:
         yield
     finally:
         _S2D_PACKED.on = prev
+        _S2D_PACKED.deep = prev_deep
+        _S2D_PACKED.pending = prev_pending
 
 
 def repack_s2d_kernel(kernel):
@@ -258,6 +287,51 @@ def repack_s2d_kernel6(kernel):
     w2 = kernel.reshape(3, 2, 3, 2, c, o)       # (KY, py, KX, px, C, O)
     w2 = w2.transpose(0, 2, 1, 3, 4, 5)         # (KY, KX, py, px, C, O)
     return w2.reshape(3, 3, 4 * c, o)
+
+
+def _s2d_deep_sel(k: int, p: int):
+    """Per-dimension selection tensor for the s2d-in -> s2d-OUT repack.
+
+    For an original stride-2 kernel of size `k`, pad `p`, acting on x with
+    both input u = s2d(x) and output z = s2d(y) on the half-res grid:
+      z[n, q] = y[2n+q] = sum_j w[j] x[2(2n+q) + j - p]
+    and x[2g + pi] = u[g, pi] gives the tap equation  j = 2s + pi + p - 2q
+    for u-grid offset g = 2n + s. Returns (sel[s, pi, q, j] in {0,1},
+    pad_lo, pad_hi, taps) such that the equivalent conv over u is stride-2
+    with `taps` taps per dim and asymmetric padding (pad_lo, pad_hi).
+    """
+    import numpy as np
+    combos = [(s, pi, q, 2 * s + pi + p - 2 * q)
+              for s in range(-3, 4) for pi in range(2) for q in range(2)
+              if 0 <= 2 * s + pi + p - 2 * q < k]
+    s_vals = sorted({s for s, *_ in combos})
+    assert s_vals == list(range(s_vals[0], s_vals[-1] + 1))
+    sel = np.zeros((len(s_vals), 2, 2, k), np.float32)
+    for s, pi, q, j in combos:
+        sel[s - s_vals[0], pi, q, j] = 1.0
+    return sel, -s_vals[0], max(0, s_vals[-1] - 1), len(s_vals)
+
+
+def repack_s2d_kernel_deep(kernel, p: Optional[int] = None):
+    """(K, K, C, O) stride-2 pad-P kernel -> equivalent stride-2 kernel
+    over the space_to_depth2 INPUT that emits the space_to_depth2 OUTPUT
+    (4C in-channels, 4O out-channels, half-res in both grids). Returns
+    (kernel', ((pad_lo, pad_hi),)*2). Exact: both the input and the output
+    stay packed, so chaining this stem with a consuming repack_s2d_kernel
+    conv removes every in-graph space-to-depth transpose. K=3/P=1 gives a
+    3x3 kernel (taps s in {-1,0,1}); K=6/P=2 (the v5u stem) gives 4x4."""
+    k = kernel.shape[0]
+    p = k // 2 if p is None else p
+    c, o = kernel.shape[2], kernel.shape[3]
+    sel, pad_lo, pad_hi, _ = _s2d_deep_sel(k, p)
+    seln = jnp.asarray(sel, kernel.dtype)
+    # W'[sy,sx, (py px c), (qy qx o)] = sum_{jy,jx} sel[sy,py,qy,jy]
+    #                                  * sel[sx,px,qx,jx] * w[jy,jx,c,o]
+    w = jnp.einsum("aeiy,bfjx,yxco->abefijco", seln, seln, kernel)
+    w = w.transpose(0, 1, 2, 3, 6, 4, 5, 7)     # (sy,sx,py,px,c,qy,qx,o)
+    t = w.shape[0]
+    return (w.reshape(t, t, 4 * c, 4 * o),
+            ((pad_lo, pad_hi), (pad_lo, pad_hi)))
 
 
 # ---------------------------------------------------------------------------
@@ -394,6 +468,31 @@ class ConvBN(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        # deep-packing handshake (s2d_packed_input(deep=True)): the
+        # previous layer (the stem) emitted its output space-to-depth
+        # packed; this conv consumes it as the exact 2x2 stride-1 repacked
+        # conv and emits a plain tensor. Only the first post-stem layer can
+        # see a pending flag; anything ineligible fails the trace loudly
+        # rather than silently mis-compute.
+        if _s2d_pending() and not train and fused_inference_active():
+            c1 = _s2d_pending()
+            _s2d_set_pending(0)
+            if not (self.k == 3 and self.s == 2 and self.d == 1
+                    and self.g == 1 and not self.use_bias
+                    and autopad(self.k, self.p, self.d) == 1
+                    and len(x.shape) == 4 and x.shape[-1] == 4 * c1):
+                raise ValueError(
+                    "s2d deep packing: the layer after the stem is not an "
+                    "eligible 3x3/s2 ConvBN — disable deep packing for "
+                    f"this architecture (got k={self.k} s={self.s} "
+                    f"cin={x.shape[-1]} expecting {4 * c1})")
+            kernel = _KernelParam((3, 3, c1, self.c2), name="conv")()
+            y = jax.lax.conv_general_dilated(
+                x, repack_s2d_kernel(kernel).astype(x.dtype), (1, 1),
+                ((1, 0), (1, 0)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            y = batch_norm(y, train)
+            return ACTS[self.act](y)
         # Pallas fast path (TPU fused inference, fold_bn'd params): conv +
         # folded-BN bias + activation in one kernel epilogue — avoids both
         # XLA's pathological small-channel conv and an extra elementwise
@@ -427,7 +526,12 @@ class ConvBN(nn.Module):
         # that channel count (every later stride-2 conv in the zoo has
         # cin >= 16), so this recognizes exactly the stem conv. Covers the
         # 3x3/s2/p1 stem (v8/v11/v12) and the 6x6/s2/p2 stem (v5u).
-        use_packed = (not train and fused_inference_active()
+        # TRAIN-mode packing (the device-augment render can emit the packed
+        # canvas at zero cost — data/device_augment.py packed=True) runs
+        # the same repacked conv with real BN; stats/grads are exact (the
+        # conv output is the plain stem output, the kernel grad flows
+        # through the repack transposes).
+        use_packed = ((train or fused_inference_active())
                       and s2d_packed_active() and x.shape[-1] == 12
                       and self.s == 2 and self.d == 1
                       and self.g == 1 and not self.use_bias
@@ -439,6 +543,20 @@ class ConvBN(nn.Module):
         if use_packed:
             kernel = _KernelParam((self.k, self.k, 3, self.c2),
                                   name="conv")()
+            if s2d_deep_active() and not train:
+                # emit the stem output space-to-depth packed too (stride-2
+                # conv over the packed input; pure weights transform) and
+                # flag the next ConvBN to consume it. Folded-BN bias is
+                # per original channel, tiled over the 4 parity blocks.
+                keff, pad = repack_s2d_kernel_deep(
+                    kernel, autopad(self.k, self.p, self.d))
+                y = jax.lax.conv_general_dilated(
+                    x, keff.astype(x.dtype), (2, 2), pad,
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                bias = _BiasParam(self.c2, name="bn")()
+                y = y + jnp.tile(bias, 4).astype(y.dtype)
+                _s2d_set_pending(self.c2)
+                return ACTS[self.act](y)
             if self.k == 3:
                 keff, pad = repack_s2d_kernel(kernel), ((1, 0), (1, 0))
             else:

@@ -145,7 +145,11 @@ class BaseTask:
 
         packed: images arrive HOST space-to-depth packed (B, H/2, W/2, 12)
         — the stem runs as the exact stride-1 repacked conv
-        (nn/common.py s2d_packed_input; requires fuse_inference)."""
+        (nn/common.py s2d_packed_input; requires fuse_inference). With
+        Config.host_s2d_deep (default) the stem also EMITS its output
+        packed and conv1 consumes it — both early convs run with full MXU
+        lanes, still zero in-graph transposes (measured +15% paired on
+        v5e, v8s-640 b32)."""
         if self.config.fuse_inference:
             from .nn import fused_inference, pallas_conv
             from .nn.common import (quant_int8, s2d_packed_input,
@@ -159,7 +163,8 @@ class BaseTask:
                         and getattr(self, "_quant_stats", None) is not None)
             with fused_inference(), pallas_conv(use_pallas), \
                     s2d_stride2(self.config.s2d_max_cin), \
-                    quant_int8(use_int8), s2d_packed_input(packed):
+                    quant_int8(use_int8), s2d_packed_input(
+                        packed, deep=packed and self.config.host_s2d_deep):
                 return self.net.apply(variables, images, False,
                                       skip_one2many=skip_one2many)
         assert not packed, "host_s2d requires Config.fuse_inference"
@@ -400,7 +405,8 @@ class BaseTask:
         step_fn = make_train_step(self.net, train_loss_fn,
                                   compute_dtype=cfg.compute_dtype, mesh=mesh,
                                   dynamic_loss_scale=cfg.true_fp16,
-                                  fsdp=use_fsdp)
+                                  fsdp=use_fsdp,
+                                  packed_stem=cfg.train_packed_render)
 
         stopper = EarlyStopping(cfg.patience)
         best_fitness = -float("inf")

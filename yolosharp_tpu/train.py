@@ -134,11 +134,16 @@ def normalize_images(images, compute_dtype):
     return images.astype(compute_dtype)
 
 
-def resolve_batch_images(batch: Dict, compute_dtype):
+def resolve_batch_images(batch: Dict, compute_dtype, packed: bool = False):
     """Produce (images, batch) for the step: either the host-prepared
     `images` tensor, or the device-rendered augmentation (one fused
     gather/sample program, data/device_augment.py) when the loader shipped
-    an `aug_pool` plan. Segmentation masks render on device too."""
+    an `aug_pool` plan. Segmentation masks render on device too.
+
+    packed=True renders the canvas 2x2 space-to-depth packed (free: the
+    gather's coordinate constants are enumerated in packed order) for the
+    stem's s2d_packed_input train-mode rewrite. Host-prepared batches stay
+    unpacked (the packed ConvBN branch simply never triggers on them)."""
     if "aug_pool" not in batch:
         return normalize_images(batch["images"], compute_dtype), batch
     from .data.device_augment import (mosaic_perspective_images,
@@ -148,7 +153,8 @@ def resolve_batch_images(batch: Dict, compute_dtype):
     arrays = (batch["aug_src_idx"], batch["aug_rects"], batch["aug_pads"],
               batch["aug_minv"], batch["aug_persp"], batch["aug_flips"],
               batch["aug_hsv"])
-    images = mosaic_perspective_images(batch["aug_pool"], arrays, s)
+    images = mosaic_perspective_images(batch["aug_pool"], arrays, s,
+                                       packed=packed)
     images = images.astype(compute_dtype) / 255.0
     if "aug_mask_pool" in batch:
         ratio = s // batch["aug_mask_pool"].shape[1]
@@ -191,7 +197,8 @@ def make_train_step(net, loss_fn, *, compute_dtype=jnp.float32,
                     dynamic_loss_scale: bool = False,
                     scale_growth_interval: int = 2000,
                     max_loss_scale: float = 65536.0,
-                    fsdp: bool = False):
+                    fsdp: bool = False,
+                    packed_stem: bool = False):
     """Build the jitted data-parallel train step.
 
     loss_fn(preds, batch, **loss_kwargs) -> (scalar_loss, items).
@@ -218,14 +225,22 @@ def make_train_step(net, loss_fn, *, compute_dtype=jnp.float32,
     """
 
     def step_fn(state: TrainState, batch: Dict, loss_kwargs: Dict):
-        images, batch = resolve_batch_images(batch, compute_dtype)
+        images, batch = resolve_batch_images(batch, compute_dtype,
+                                             packed=packed_stem)
         scale = (state.loss_scale if dynamic_loss_scale
                  else jnp.asarray(1.0, jnp.float32))
 
         def loss_of(params):
+            import contextlib
+
+            from .nn.common import s2d_packed_input
+
             variables = {"params": params, "batch_stats": state.batch_stats}
-            preds, updates = net.apply(variables, images, True,
-                                       mutable=["batch_stats"])
+            ctx = (s2d_packed_input() if packed_stem
+                   else contextlib.nullcontext())
+            with ctx:
+                preds, updates = net.apply(variables, images, True,
+                                           mutable=["batch_stats"])
             loss, items = loss_fn(preds, batch, **loss_kwargs)
             return loss * scale, (items, updates["batch_stats"])
 
