@@ -179,6 +179,16 @@ class Config:
     # throughput in 3/3 pairs on v5e (v8n-320 b16). No effect on
     # host-prepared (non-device-augment) batches.
     train_packed_render: bool = True
+    # Separable device-augment render: when the warp is axis-aligned
+    # (degrees == shear == perspective == 0 — the reference's default
+    # hyps), the whole mosaic+scale+translate+flip bilinear sample is
+    # computed as dense per-tile 1-D interpolation MATMULS (MXU work)
+    # instead of XLA gathers (data/device_augment.py _render_separable;
+    # exact same semantics, f32 summation order only). The gather render
+    # was measured as the single largest train-step sink (~9 ms of a
+    # 19 ms v8n-320 b16 step). Auto-ignored when any of the three hyps
+    # is nonzero.
+    separable_render: bool = True
     # TPU compiler tuning for the jitted predict programs: latency-hiding
     # scheduler + 64 MiB scoped VMEM. Measured +1.2-2.4% paired on v5e
     # for UNPACKED predict programs but consistently negative stacked on

@@ -303,9 +303,12 @@ def plan_mosaic_batch(records: List[LabelRecord], cfg, rng,
 
 def _rgb_to_hsv_cv(img):
     """cv2-convention HSV for [0,255] RGB: H in [0,180), S/V in [0,255]."""
+    return _rgb_planes_to_hsv(img[..., 0], img[..., 1], img[..., 2])
+
+
+def _rgb_planes_to_hsv(r, g, b):
     import jax.numpy as jnp
 
-    r, g, b = img[..., 0], img[..., 1], img[..., 2]
     mx = jnp.maximum(jnp.maximum(r, g), b)
     mn = jnp.minimum(jnp.minimum(r, g), b)
     diff = mx - mn
@@ -319,6 +322,12 @@ def _rgb_to_hsv_cv(img):
 
 
 def _hsv_to_rgb_cv(h, s, v):
+    import jax.numpy as jnp
+
+    return jnp.stack(_hsv_to_rgb_planes(h, s, v), -1)
+
+
+def _hsv_to_rgb_planes(h, s, v):
     import jax.numpy as jnp
 
     h = (h % 180.0) / 30.0           # sector in [0, 6)
@@ -335,7 +344,7 @@ def _hsv_to_rgb_cv(h, s, v):
                    [t, v, v, q, p, p])
     b = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5],
                    [p, p, t, v, v, q])
-    return jnp.stack([r, g, b], -1)
+    return r, g, b
 
 
 def apply_hsv(img, gains):
@@ -348,6 +357,20 @@ def apply_hsv(img, gains):
     s = jnp.clip(s * gains[1], 0, 255)
     h = (h + gains[2] * 180.0) % 180.0
     return jnp.clip(_hsv_to_rgb_cv(h, s, v), 0, 255)
+
+
+def apply_hsv_planes(r, g, b, gains):
+    """apply_hsv on channel-PLANAR (s, s) arrays (same math, full-width
+    lanes — elementwise ops on 3-minor layouts use 3/128 VPU lanes)."""
+    import jax.numpy as jnp
+
+    h, s, v = _rgb_planes_to_hsv(r, g, b)
+    v = jnp.clip(v * gains[0], 0, 255)
+    s = jnp.clip(s * gains[1], 0, 255)
+    h = (h + gains[2] * 180.0) % 180.0
+    rr, gg, bb = _hsv_to_rgb_planes(h, s, v)
+    return (jnp.clip(rr, 0, 255), jnp.clip(gg, 0, 255),
+            jnp.clip(bb, 0, 255))
 
 
 def _sample_one(pool_flat, page, sy, sx, s, fill, nearest):
@@ -385,8 +408,80 @@ def _sample_one(pool_flat, page, sy, sx, s, fill, nearest):
     return top * (1 - wy) + bot * wy
 
 
+def _sep_axis_weights(q, lo, hi, pad, s_in):
+    """1-D bilinear weight matrix for one tile of an AXIS-ALIGNED warp.
+
+    q: (s_out,) canvas coordinates of the output pixels along this axis.
+    Returns (s_out, s_in): rows whose canvas coord falls outside the
+    tile's interval [lo, hi) are zero; rows inside hold the two bilinear
+    corner weights of source coordinate q - pad. Out-of-range corners
+    simply match no column — their weight mass is re-added as the 114
+    border fill through the coverage remainder (exactly the gather path's
+    `where(ok, v, 114)` semantics, since Σ corner weights == 1).
+    """
+    import jax.numpy as jnp
+
+    mem = (q >= lo) & (q < hi)
+    sx = q - pad
+    x0 = jnp.floor(sx)
+    wx = (sx - x0)[:, None]
+    x0i = x0.astype(jnp.int32)[:, None]
+    j = jnp.arange(s_in, dtype=jnp.int32)[None, :]
+    w = (j == x0i) * (1.0 - wx) + (j == x0i + 1) * wx
+    return w * mem[:, None]
+
+
+def _render_separable(pool, plan_arrays, s: int, packed: bool):
+    """Mosaic+scale+translate+flip+HSV render as dense MXU matmuls.
+
+    Valid only for AXIS-ALIGNED warps (degrees == shear == perspective
+    == 0 — the reference's default hyps, Data/Config.cs): the sampling
+    coordinate then separates per axis (qx = m00·x + m02), so the whole
+    bilinear gather becomes, per tile k,   Wy_k @ src_k @ Wx_kᵀ   with
+    1-D interpolation matrices — MXU work instead of XLA's per-row
+    gathers (measured ~9 ms/step of gather at v8n-320 b16; see
+    ROUND_NOTES round-3). Tiles partition the canvas, so the 4 per-tile
+    products sum exactly to the gather path's tile select, and the 114
+    border/out-of-corner fill is the separable coverage remainder
+    (1 - Σ_valid wy · Σ_valid wx). Bit-differences vs the gather path are
+    only f32 summation order inside the bilinear lerp.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    src_idx, rects, pads, minv, _persp, flips, hsv = plan_arrays
+    poolp = pool.transpose(0, 3, 1, 2).astype(jnp.float32)  # (P, 3, s, s)
+    x = jnp.arange(s, dtype=jnp.float32)
+    hp = jax.lax.Precision.HIGHEST
+
+    def per_image(src4, rect4, pad4, mi, fl, gains):
+        px = jnp.where(fl[0] > 0, (s - 1.0) - x, x)
+        py = jnp.where(fl[1] > 0, (s - 1.0) - x, x)
+        qx = mi[0, 0] * px + mi[0, 2]
+        qy = mi[1, 1] * py + mi[1, 2]
+        wy = jnp.stack([_sep_axis_weights(qy, rect4[k, 1], rect4[k, 3],
+                                          pad4[k, 1], s) for k in range(4)])
+        wx = jnp.stack([_sep_axis_weights(qx, rect4[k, 0], rect4[k, 2],
+                                          pad4[k, 0], s) for k in range(4)])
+        pages = jnp.take(poolp, src4, axis=0)            # (4, 3, s, s)
+        tmp = jnp.einsum("kij,kcjw->kciw", wy, pages, precision=hp)
+        out4 = jnp.einsum("kciw,kxw->kcix", tmp, wx, precision=hp)
+        planes = out4.sum(0)                             # (3, s, s)
+        cov = jnp.einsum("ki,kx->ix", wy.sum(-1), wx.sum(-1), precision=hp)
+        planes = planes + (1.0 - cov)[None] * 114.0
+        r, g, b = apply_hsv_planes(planes[0], planes[1], planes[2], gains)
+        img = jnp.stack([r, g, b], 0)
+        if packed:
+            img = img.reshape(3, s // 2, 2, s // 2, 2)
+            return img.transpose(1, 3, 2, 4, 0).reshape(s // 2, s // 2, 12)
+        return img.transpose(1, 2, 0)
+
+    return jax.vmap(per_image)(src_idx, rects, pads, minv, flips, hsv)
+
+
 def mosaic_perspective_images(pool, plan_arrays, imgsz: int,
-                              packed: bool = False):
+                              packed: bool = False,
+                              separable: bool = False):
     """(B, s, s, 3) uint8 source pool + plan -> (B, s, s, 3) float images.
 
     One fused program: flip -> M^-1 -> tile select -> bilinear gather ->
@@ -399,9 +494,16 @@ def mosaic_perspective_images(pool, plan_arrays, imgsz: int,
     enumerated in packed pixel order, so the gather writes the packed
     layout directly and the final reshape is contiguous — no transpose.
     Pairs with the stem's s2d_packed_input ConvBN rewrite for training.
+
+    separable=True (host-gated: ONLY when degrees == shear == perspective
+    == 0, the reference defaults) renders through dense per-tile
+    interpolation matmuls instead of gathers — see _render_separable.
     """
     import jax
     import jax.numpy as jnp
+
+    if separable:
+        return _render_separable(pool, plan_arrays, imgsz, packed)
 
     s = imgsz
     src_idx, rects, pads, minv, persp, flips, hsv = plan_arrays

@@ -402,11 +402,16 @@ class BaseTask:
                   f"{len(mesh.devices.flat)} devices "
                   f"(~{sharded_param_bytes(state, mesh) / 2**20:.1f} "
                   f"MiB/device).")
+        # axis-aligned warps (the reference's default hyps) render through
+        # dense interpolation matmuls instead of gathers — exact semantics
+        sep_render = (cfg.separable_render and cfg.degrees == 0
+                      and cfg.shear == 0 and cfg.perspective == 0)
         step_fn = make_train_step(self.net, train_loss_fn,
                                   compute_dtype=cfg.compute_dtype, mesh=mesh,
                                   dynamic_loss_scale=cfg.true_fp16,
                                   fsdp=use_fsdp,
-                                  packed_stem=cfg.train_packed_render)
+                                  packed_stem=cfg.train_packed_render,
+                                  separable_render=sep_render)
 
         stopper = EarlyStopping(cfg.patience)
         best_fitness = -float("inf")

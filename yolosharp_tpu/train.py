@@ -134,7 +134,8 @@ def normalize_images(images, compute_dtype):
     return images.astype(compute_dtype)
 
 
-def resolve_batch_images(batch: Dict, compute_dtype, packed: bool = False):
+def resolve_batch_images(batch: Dict, compute_dtype, packed: bool = False,
+                         separable: bool = False):
     """Produce (images, batch) for the step: either the host-prepared
     `images` tensor, or the device-rendered augmentation (one fused
     gather/sample program, data/device_augment.py) when the loader shipped
@@ -154,7 +155,7 @@ def resolve_batch_images(batch: Dict, compute_dtype, packed: bool = False):
               batch["aug_minv"], batch["aug_persp"], batch["aug_flips"],
               batch["aug_hsv"])
     images = mosaic_perspective_images(batch["aug_pool"], arrays, s,
-                                       packed=packed)
+                                       packed=packed, separable=separable)
     images = images.astype(compute_dtype) / 255.0
     if "aug_mask_pool" in batch:
         ratio = s // batch["aug_mask_pool"].shape[1]
@@ -198,7 +199,8 @@ def make_train_step(net, loss_fn, *, compute_dtype=jnp.float32,
                     scale_growth_interval: int = 2000,
                     max_loss_scale: float = 65536.0,
                     fsdp: bool = False,
-                    packed_stem: bool = False):
+                    packed_stem: bool = False,
+                    separable_render: bool = False):
     """Build the jitted data-parallel train step.
 
     loss_fn(preds, batch, **loss_kwargs) -> (scalar_loss, items).
@@ -226,7 +228,8 @@ def make_train_step(net, loss_fn, *, compute_dtype=jnp.float32,
 
     def step_fn(state: TrainState, batch: Dict, loss_kwargs: Dict):
         images, batch = resolve_batch_images(batch, compute_dtype,
-                                             packed=packed_stem)
+                                             packed=packed_stem,
+                                             separable=separable_render)
         scale = (state.loss_scale if dynamic_loss_scale
                  else jnp.asarray(1.0, jnp.float32))
 
