@@ -43,6 +43,17 @@ ITERS = 10
 GFLOPS_PER_IMG = 28.6     # Ultralytics-published v8s-640 forward FLOPs
 PEAK_TFLOPS = 197.0       # TPU v5e bf16 peak
 ROUND1_IPS = 1110.53
+# train-step row (v8n-320 b16, the COCO128 fine-tune config = BASELINE
+# workload 3, production path: device-augment render fused into the step
+# with the shipped Config defaults). Prior-round reference: round 3's
+# measured 9.7 ms/step = 1649 img/s (ROUND_NOTES, one-hot TAL rewrite)
+# — that number was WITHOUT the render; the render-inclusive r3 control
+# was ~19 ms (842 img/s). vs_train_r3 is computed against the
+# render-inclusive number (same program class as this row).
+TRAIN_BATCH, TRAIN_IMGSZ, TRAIN_ITERS = 16, 320, 10
+TRAIN_GFLOPS_PER_IMG = 8.7 / 4 * 3   # v8n fwd @320 ~= 8.7/4, train ~= 3x
+ROUND3_TRAIN_IPS = 842.0
+BENCH_TRAIN = os.environ.get("BENCH_TRAIN", "1") == "1"
 S2D_MAX_CIN = int(os.environ.get("BENCH_S2D", "0"))
 # int8 PTQ measured a LOSS on v5e (885.6 vs 1451 img/s same config +
 # parity-gate fail at the 0.25-threshold boundary — ROUND_NOTES round 3);
@@ -128,6 +139,101 @@ def build_calibrated_v8s(key, batch=BATCH, imgsz=IMGSZ):
     n_cand = int((np.asarray(raw_scores(variables, x[:4])) > 0.25).sum() / 4)
     fused_vars = jax.device_put(fold_bn(variables))
     return net, variables, fused_vars, x, n_cand
+
+
+def measure_train():
+    """Production train-step throughput (v8n-320 b16 detect, device-augment
+    render included, shipped Config defaults for the render/stem path).
+    Returns a dict of train_* keys for the bench JSON."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from yolosharp_tpu.config import Config
+    from yolosharp_tpu.data import device_augment as DA
+    from yolosharp_tpu.data.labels import LabelRecord
+    from yolosharp_tpu.loss import detection_loss
+    from yolosharp_tpu.nn import ArchCfg, YoloNet
+    from yolosharp_tpu.train import (TrainState, make_optimizer,
+                                     resolve_batch_images)
+
+    b, s = TRAIN_BATCH, TRAIN_IMGSZ
+    cfg = Config(image_size=s, batch_size=b)
+    # the production gating (tasks.py train): axis-aligned default hyps
+    sep = (cfg.separable_render and cfg.degrees == 0 and cfg.shear == 0
+           and cfg.perspective == 0)
+    packed = cfg.train_packed_render
+
+    net = YoloNet(ArchCfg(version="v8", size="n", task="detect", nc=80))
+    variables = net.init(jax.random.PRNGKey(0),
+                         jnp.zeros((1, s, s, 3), jnp.float32), False)
+    tx = make_optimizer(nc=80, epochs=10, steps_per_epoch=8)
+    state = TrainState.create(variables, tx)
+    rng = np.random.default_rng(0)
+    recs = [LabelRecord(im_file=f"synth{i}",
+                        img=rng.integers(0, 255, (s, s, 3), np.uint8),
+                        cls=np.array([1, 2], np.float32),
+                        bboxes=np.array([[10, 10, 100, 100],
+                                         [50, 50, 200, 200]], np.float32),
+                        org_shape=(s, s), resized_shape=(s, s))
+            for i in range(b)]
+    plan, _ = DA.plan_mosaic_batch(recs, cfg, rng)
+    batch = jax.device_put({
+        "cls": rng.integers(0, 80, (b, 16)).astype(np.int32),
+        "bboxes": rng.uniform(0.2, 0.6, (b, 16, 4)).astype(np.float32),
+        "mask_gt": np.ones((b, 16), bool),
+        "aug_pool": np.stack([r.img for r in recs]),
+        "aug_src_idx": plan.src_idx, "aug_rects": plan.rects,
+        "aug_pads": plan.pads, "aug_minv": plan.minv,
+        "aug_persp": plan.persp, "aug_flips": plan.flips,
+        "aug_hsv": plan.hsv,
+    })
+
+    @jax.jit
+    def scan_steps(state, batch):
+        import contextlib
+
+        from yolosharp_tpu.nn.common import s2d_packed_input
+
+        images, bb = resolve_batch_images(batch, jnp.bfloat16,
+                                          packed=packed, separable=sep)
+
+        def one_step(st, _):
+            def loss_of(params):
+                ctx = (s2d_packed_input() if packed
+                       else contextlib.nullcontext())
+                with ctx:
+                    preds, upd = net.apply(
+                        {"params": params, "batch_stats": st.batch_stats},
+                        images, True, mutable=["batch_stats"])
+                loss, _ = detection_loss(preds["one2many"], bb, nc=80)
+                return loss, upd["batch_stats"]
+
+            (loss, stats), grads = jax.value_and_grad(
+                loss_of, has_aux=True)(st.params)
+            import optax
+            updates, new_opt = st.tx.update(grads, st.opt_state, st.params)
+            st = st.replace(step=st.step + 1,
+                            params=optax.apply_updates(st.params, updates),
+                            batch_stats=stats, opt_state=new_opt)
+            return st, loss
+
+        _, losses = jax.lax.scan(one_step, state, None, length=TRAIN_ITERS)
+        return losses[-1].astype(jnp.float32)
+
+    float(scan_steps(state, batch))          # compile + warm
+    t0 = time.perf_counter()
+    float(scan_steps(state, batch))
+    dt = (time.perf_counter() - t0) / TRAIN_ITERS
+    ips = b / dt
+    mfu = ips * TRAIN_GFLOPS_PER_IMG / 1e3 / PEAK_TFLOPS
+    return {"train_ips": round(ips, 2),
+            "train_ms_per_step": round(dt * 1e3, 2),
+            "train_mfu": round(mfu, 4),
+            "train_vs_r3": round(ips / ROUND3_TRAIN_IPS, 3),
+            "train_config": (f"v8n-{s} b{b} detect+render"
+                             f"{'+sep' if sep else ''}"
+                             f"{'+pack' if packed else ''}")}
 
 
 def main():
@@ -274,6 +380,9 @@ def main():
                      int8_parity_ok=parity_ok)
         if parity_ok and dt_int8 < result["dt"]:
             result = {"config": f"int8+s2d{S2D_MAX_CIN}", "dt": dt_int8}
+
+    if BENCH_TRAIN:
+        extra.update(measure_train())
 
     dt = result["dt"]
     ips = BATCH / dt

@@ -12,7 +12,8 @@ steps carrying TrainState (one dispatch; immune to tunnel latency), same
 synthetic batch each iteration, non-donated outer state so the timed fn
 is re-runnable.
 
-Usage: python scripts/perf_train_tuning.py [pairs=3]
+Usage: python scripts/perf_train_tuning.py [pairs=3] [candidates...]
+Env: YS_IMGSZ=320|640|1280 (workload size), YS_BATCH=16.
 """
 
 from __future__ import annotations
@@ -32,9 +33,11 @@ from yolosharp_tpu.loss import detection_loss
 from yolosharp_tpu.nn import ArchCfg, YoloNet
 from yolosharp_tpu.train import TrainState, make_optimizer
 
-BATCH, IMGSZ, ITERS = 16, 320, 10
-# v8n-640 fwd = 8.7 GFLOPs (Ultralytics); 320px = /4, train ~= 3x fwd
-GFLOPS_PER_IMG = 8.7 / 4 * 3
+BATCH = int(os.environ.get("YS_BATCH", "16"))
+IMGSZ = int(os.environ.get("YS_IMGSZ", "320"))
+ITERS = 10
+# v8n-640 fwd = 8.7 GFLOPs (Ultralytics); scales with area, train ~= 3x fwd
+GFLOPS_PER_IMG = 8.7 * (IMGSZ / 640) ** 2 * 3
 PEAK_TFLOPS = 197.0
 
 
@@ -83,7 +86,7 @@ def build(render: bool = False):
 
 
 def make_run(net, compiler_options=None, s2d_train=0, packed_render=False,
-             render=False):
+             render=False, separable=False):
     import contextlib
 
     from yolosharp_tpu.nn.common import s2d_packed_input, s2d_stride2
@@ -98,7 +101,8 @@ def make_run(net, compiler_options=None, s2d_train=0, packed_render=False,
                       batch["aug_persp"], batch["aug_flips"],
                       batch["aug_hsv"])
             images = mosaic_perspective_images(
-                batch["aug_pool"], arrays, IMGSZ, packed=packed_render)
+                batch["aug_pool"], arrays, IMGSZ, packed=packed_render,
+                separable=separable)
             images = images.astype(jnp.bfloat16) / 255.0
         else:
             images = batch["images"].astype(jnp.bfloat16)
@@ -145,7 +149,8 @@ def measure(run, state, batch):
 def main():
     pairs = int(sys.argv[1]) if len(sys.argv) > 1 else 3
     want = set(sys.argv[2:])
-    render = bool({"render", "renderpack"} & want) if want else False
+    render = (bool({"render", "renderpack", "sep", "seppack"} & want)
+              if want else False)
     net, state, batch = build(render=render)
     ctrl = make_run(net, render=render)
     cands = [
@@ -162,6 +167,11 @@ def main():
         # is the plain render ("render" itself measures render vs ctrl).
         ("render", None, 0, False),
         ("renderpack", None, 0, True),
+        # separable render (dense per-tile interpolation matmuls instead
+        # of gathers — the shipped default, Config.separable_render) with
+        # and without the packed canvas. Control stays the gather render.
+        ("sep", None, 0, False),
+        ("seppack", None, 0, True),
     ]
     runs = []
     for name, opts, s2d, prender in cands:
@@ -171,7 +181,9 @@ def main():
             runs.append((name, make_run(net, opts, s2d_train=s2d,
                                         packed_render=prender,
                                         render=render or prender
-                                        or name == "render")))
+                                        or name in ("render", "sep"),
+                                        separable=name in ("sep",
+                                                           "seppack"))))
         except Exception as e:
             print(f"{name}: UNSUPPORTED ({type(e).__name__}: {e})",
                   flush=True)
@@ -183,7 +195,8 @@ def main():
             mfu = e_ips * GFLOPS_PER_IMG / 1e3 / PEAK_TFLOPS
             print(f"[{rep}] ctrl {c_dt*1e3:6.2f} ms ({c_ips:6.1f} img/s) | "
                   f"{name:8s} {e_dt*1e3:6.2f} ms ({e_ips:6.1f} img/s, "
-                  f"~{mfu*100:.1f}% MFU) {e_ips/c_ips:+.1%}", flush=True)
+                  f"~{mfu*100:.1f}% MFU) {e_ips/c_ips - 1:+.1%}",
+                  flush=True)
 
 
 if __name__ == "__main__":

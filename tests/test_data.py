@@ -143,3 +143,69 @@ def test_close_mosaic_switch():
     ds.close_mosaic(True)
     rec = ds.get(0)
     assert rec.img.shape == (320, 320, 3)
+
+
+def test_bucket_shapes_quantizes_to_max():
+    """An arbitrary-size val set must compile O(buckets) eval programs:
+    100 mixed-aspect batch shapes quantize to <= 4 dominating shapes with
+    minimum batch-weighted padded area (Config.val_shape_buckets)."""
+    from yolosharp_tpu.data.labels import bucket_shapes
+
+    rng = np.random.default_rng(0)
+    # aspect-sorted synthetic per-batch shapes (as parse produces them)
+    aspects = np.sort(rng.uniform(0.5, 2.0, 100))
+    shapes = []
+    for a in aspects:
+        h = int(round(320 * min(1, a) / 32)) * 32
+        w = int(round(320 * min(1, 1 / a) / 32)) * 32
+        shapes.append((max(h, 32), max(w, 32)))
+    out = bucket_shapes(shapes, 4)
+    assert len(out) == len(shapes)
+    assert len(set(out)) <= 4
+    for (h, w), (bh, bw) in zip(shapes, out):
+        assert bh >= h and bw >= w          # every image still fits
+
+    # identity when the set is already small
+    small = [(320, 256)] * 3 + [(320, 320)] * 2
+    assert bucket_shapes(small, 4) == small
+    # 0 disables (exact reference behavior)
+    assert bucket_shapes(shapes, 0) == shapes
+
+
+def test_val_shape_buckets_end_to_end(tmp_path):
+    """Synthetic 100-image mixed-aspect val set -> <= 4 distinct
+    rectangle shapes through the real parse path, and each image's
+    resized shape fits inside its assigned bucket."""
+    import cv2
+
+    from yolosharp_tpu.data.labels import load_labels
+
+    rng = np.random.default_rng(1)
+    img_dir = tmp_path / "images" / "val"
+    lab_dir = tmp_path / "labels" / "val"
+    img_dir.mkdir(parents=True)
+    lab_dir.mkdir(parents=True)
+    for i in range(100):
+        h = int(rng.integers(80, 640))
+        w = int(rng.integers(80, 640))
+        im = rng.integers(0, 255, (h, w, 3), np.uint8)
+        cv2.imwrite(str(img_dir / f"im{i:03d}.jpg"), im)
+        (lab_dir / f"im{i:03d}.txt").write_text("0 0.5 0.5 0.2 0.2\n")
+
+    cfg = Config(root_path=str(tmp_path), val_data_path="images/val",
+                 image_size=320, batch_size=8, number_class=1)
+    recs = load_labels(cfg, is_val=True)
+    shapes = {r.rectangle_shape for r in recs}
+    assert len(shapes) <= 4, shapes
+    for r in recs:
+        rh, rw = r.resized_shape
+        bh, bw = r.rectangle_shape
+        assert bh >= rh and bw >= rw
+
+    # exact per-batch shapes when disabled (one shape per batch max)
+    cfg0 = Config(root_path=str(tmp_path), val_data_path="images/val",
+                  image_size=320, batch_size=8, number_class=1,
+                  val_shape_buckets=0)
+    recs0 = load_labels(cfg0, is_val=True)
+    shapes0 = {r.rectangle_shape for r in recs0}
+    assert len(shapes0) > 4      # this set genuinely has many shapes

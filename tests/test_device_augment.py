@@ -228,6 +228,23 @@ def test_separable_render_matches_gather():
                                    atol=0.02, rtol=0)
 
 
+def test_separable_render_rejects_non_axis_aligned():
+    """separable=True silently drops rotation/shear/perspective terms;
+    the entry point must refuse a concrete plan that has them."""
+    import pytest
+
+    imgsz = 64
+    rng = np.random.default_rng(5)
+    recs = [_mk_record(rng, 64, 64, 2, imgsz) for _ in range(4)]
+    cfg = Config(image_size=imgsz, degrees=10.0)   # rotation -> not aligned
+    plan, _ = DA.plan_mosaic_batch(recs, cfg, rng)
+    pool = np.stack([r.img for r in recs])
+    arrays = (plan.src_idx, plan.rects, plan.pads, plan.minv, plan.persp,
+              plan.flips, plan.hsv)
+    with pytest.raises(ValueError, match="axis-aligned"):
+        DA.mosaic_perspective_images(pool, arrays, imgsz, separable=True)
+
+
 def test_device_hsv_matches_cv2():
     import jax
     import jax.numpy as jnp

@@ -206,6 +206,16 @@ class Config:
     # written with their shardings — the TPU-native multi-host format).
     # YoloTask.train(resume_from=...) auto-detects either on restore.
     resume_format: str = "npz"
+    # Validation rectangle-shape buckets: the reference pads each val
+    # batch to its own aspect-sorted max shape at zero cost
+    # (Data/YoloDataset.cs:339-363); on TPU every distinct batch shape is
+    # a separate compile of the jitted eval step. Quantize the per-batch
+    # rectangle shapes to at most this many buckets (contiguous in aspect
+    # order, minimum total padded area by DP; each image still fits — the
+    # bucket shape dominates its batches) so an arbitrary-size val set
+    # compiles O(buckets) eval programs instead of O(batches). 0 = exact
+    # per-batch shapes (reference behavior, one compile per shape).
+    val_shape_buckets: int = 4
     max_labels: Optional[int] = None   # per-image gt padding (None = auto)
     mesh_shape: Optional[Tuple[int, ...]] = None  # data-parallel mesh (auto)
     cache_images: bool = True          # eager RAM cache like the reference

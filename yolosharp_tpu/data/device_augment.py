@@ -503,6 +503,21 @@ def mosaic_perspective_images(pool, plan_arrays, imgsz: int,
     import jax.numpy as jnp
 
     if separable:
+        # _render_separable drops minv[:,0,1]/minv[:,1,0] and persp — a
+        # non-axis-aligned warp would render silently wrong pixels. The
+        # production caller gates on the hyps (tasks.py); defend direct
+        # callers here whenever the plan is concrete (host arrays). Under
+        # jit tracers the values are unseeable — the host gate stands.
+        minv_a, persp_a = plan_arrays[3], plan_arrays[4]
+        if not isinstance(minv_a, jax.core.Tracer):
+            m = np.asarray(minv_a)
+            if (np.asarray(persp_a).any() or np.abs(m[:, 0, 1]).max() > 0
+                    or np.abs(m[:, 1, 0]).max() > 0):
+                raise ValueError(
+                    "separable=True requires an axis-aligned warp "
+                    "(degrees == shear == perspective == 0); this plan "
+                    "has rotation/shear/perspective terms — render with "
+                    "separable=False.")
         return _render_separable(pool, plan_arrays, imgsz, packed)
 
     s = imgsz

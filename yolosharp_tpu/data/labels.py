@@ -183,12 +183,78 @@ def load_labels(config, is_val: bool = False, use_rectangle: bool = False,
     if use_rectangle or is_val:
         records.sort(key=lambda r: r.resized_shape[0] / r.resized_shape[1])
         bs, stride, pad = config.batch_size, 32, 0.5
+        batches, shapes = [], []
         for start in range(0, len(records), bs):
             batch = records[start:start + bs]
             max_w = max(r.resized_shape[1] for r in batch)
             max_h = max(r.resized_shape[0] for r in batch)
             w = int(math.ceil(max_w / stride + pad)) * stride
             h = int(math.ceil(max_h / stride + pad)) * stride
+            batches.append(batch)
+            shapes.append((h, w))
+        shapes = bucket_shapes(shapes,
+                               getattr(config, "val_shape_buckets", 4))
+        for batch, (h, w) in zip(batches, shapes):
             for r in batch:
                 r.rectangle_shape = (h, w)
     return records
+
+
+def bucket_shapes(shapes, max_buckets: int):
+    """Quantize per-batch rectangle shapes to <= max_buckets distinct
+    values so the jitted eval step compiles O(buckets) programs instead of
+    one per batch shape (the reference pays nothing per shape,
+    Data/YoloDataset.cs:339-363; XLA pays a compile).
+
+    shapes are (h, w) per batch, in aspect-sorted batch order. Buckets are
+    CONTIGUOUS runs of that order; each bucket's shape is the elementwise
+    max over its members, so every image still fits (more 114 border
+    only). The split minimizes total padded area (batch-weighted) by
+    dynamic programming over the distinct shapes. 0/None = unchanged.
+    """
+    if not max_buckets or len(set(shapes)) <= max_buckets:
+        return shapes
+    # distinct shapes in order, with batch counts
+    distinct, counts = [], []
+    for s in shapes:
+        if distinct and s == distinct[-1]:
+            counts[-1] += 1
+        else:
+            distinct.append(s)
+            counts.append(1)
+    n, k = len(distinct), max_buckets
+
+    def seg_cost(i, j):
+        """Padded-area cost of merging distinct[i..j] into one bucket."""
+        h = max(d[0] for d in distinct[i:j + 1])
+        w = max(d[1] for d in distinct[i:j + 1])
+        return sum(c * (h * w - d[0] * d[1])
+                   for d, c in zip(distinct[i:j + 1], counts[i:j + 1]))
+
+    INF = float("inf")
+    best = [[INF] * (k + 1) for _ in range(n + 1)]   # best[i][b]: first i
+    back = [[0] * (k + 1) for _ in range(n + 1)]
+    best[0][0] = 0.0
+    for i in range(1, n + 1):
+        for b in range(1, min(i, k) + 1):
+            for j in range(b - 1, i):                # last bucket = [j, i)
+                c = best[j][b - 1]
+                if c < INF:
+                    c += seg_cost(j, i - 1)
+                    if c < best[i][b]:
+                        best[i][b] = c
+                        back[i][b] = j
+    nb = min(k, n)
+    cuts, i = [], n
+    for b in range(nb, 0, -1):
+        j = back[i][b]
+        cuts.append((j, i))
+        i = j
+    cuts.reverse()
+    bucket_of = {}
+    for j, i in cuts:
+        h = max(d[0] for d in distinct[j:i])
+        w = max(d[1] for d in distinct[j:i])
+        for d in distinct[j:i]:
+            bucket_of[d] = (h, w)
+    return [bucket_of[s] for s in shapes]
