@@ -258,9 +258,15 @@ def w3_v8n_finetune_loop(imgsz=320, epochs=3):
 
     tx = make_optimizer(nc=80, epochs=epochs, steps_per_epoch=len(dl))
     state = TrainState.create(task._ensure_variables(), tx)
-    # donate=False: the probe reuses `state` across timing phases
+    # donate=False: the probe reuses `state` across timing phases.
+    # Render flags mirror the production gating (tasks.py train) so the
+    # bench measures the shipped default path, not the gather control.
+    sep = (cfg.separable_render and cfg.degrees == 0 and cfg.shear == 0
+           and cfg.perspective == 0)
     step_fn = make_train_step(task.net, loss_fn,
-                              compute_dtype=cfg.compute_dtype, donate=False)
+                              compute_dtype=cfg.compute_dtype, donate=False,
+                              packed_stem=cfg.train_packed_render,
+                              separable_render=sep)
 
     # --- attribution probes (VERDICT r2 weak #3: separate host batch
     # production from transfer from device compute) ---

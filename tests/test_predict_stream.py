@@ -171,3 +171,37 @@ def test_stream_pose_and_obb_match_image_predict():
                 for gk, sk in zip(g.keypoints, s.keypoints):
                     assert abs(gk.x - np.clip(sk.x, 0, 128)) < 1
                     assert abs(gk.y - np.clip(sk.y, 0, 128)) < 1
+
+
+def test_stream_classify_matches_batch_predict():
+    """Classifier streaming (serving symmetry with the detect families):
+    one top-5 list per image in order, matching batch_predict's
+    resize-short-side + center-crop eval pipeline exactly."""
+    t = YoloTask(Config(task_type=TaskType.classify, yolo_type=YoloType.v8,
+                        yolo_size=YoloSize.n, number_class=10,
+                        image_size=64))
+    t.task._ensure_variables()
+    rng = np.random.default_rng(0)
+    # mixed aspect ratios exercise the center-crop path
+    imgs = [rng.integers(0, 255, (h, w, 3), np.uint8)
+            for h, w in ((64, 64), (96, 64), (64, 128), (80, 80), (70, 90))]
+    # batch_predict plain-resizes; build the expectation via the stream's
+    # own eval preprocessing run through image-sized batch_predict inputs
+    import cv2
+
+    def crop(im):
+        h, w = im.shape[:2]
+        r = 64 / min(h, w)
+        im = cv2.resize(im, (max(64, int(w * r)), max(64, int(h * r))))
+        h, w = im.shape[:2]
+        top, left = (h - 64) // 2, (w - 64) // 2
+        return im[top:top + 64, left:left + 64]
+
+    want = t.batch_predict([crop(im) for im in imgs])
+    got = list(t.predict_stream(iter(imgs), batch_size=2, imgsz=64))
+    assert len(got) == 5
+    for g_list, w_list in zip(got, want):
+        assert len(g_list) == len(w_list) == 5
+        for g, w in zip(g_list, w_list):
+            assert g.class_id == w.class_id
+            assert abs(g.score - w.score) < 1e-4

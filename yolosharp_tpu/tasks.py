@@ -585,14 +585,24 @@ class BaseTask:
         raise NotImplementedError
 
 
-def _warn_if_truncated(nms_out):
+def _warn_if_truncated(nms_out, state: Optional[Dict] = None):
     """Surface NMS candidate-pool truncation (never silent; see
-    Config.nms_pre_topk)."""
+    Config.nms_pre_topk). With a per-stream `state` dict the warning
+    prints once per stream (dense streams would otherwise spam it per
+    batch); the stream's end prints a count summary."""
     trunc = np.asarray(getattr(nms_out, "truncated", False))
-    if trunc.any():
-        print("WARNING: above-threshold NMS candidates exceeded "
-              "Config.nms_pre_topk; low-score boxes may be missing. "
-              "Raise nms_pre_topk or set it to None for exact NMS.")
+    if not trunc.any():
+        return
+    if state is not None:
+        state["truncated_batches"] = state.get("truncated_batches", 0) + 1
+        if state["truncated_batches"] > 1:
+            return
+        suffix = " (warning once per stream)"
+    else:
+        suffix = ""
+    print("WARNING: above-threshold NMS candidates exceeded "
+          "Config.nms_pre_topk; low-score boxes may be missing. "
+          f"Raise nms_pre_topk or set it to None for exact NMS.{suffix}")
 
 
 def _nms_decoded(decoded, batch, *, nc, conf, iou, rotated=False,
@@ -885,21 +895,25 @@ class Detector(BaseTask):
         # depth-2 pipeline: dispatch batch N, then fetch batch N-1 while
         # N computes on device
         pending = []
+        tstate: Dict = {}
         e2e = self.arch.end2end
         for jb, metas in device_prefetch(host_batches(), put, depth=2):
             pending.append((fn(variables, jb, conf if not e2e else 0.0,
                                iou), metas))
             if len(pending) >= 2:
-                yield from self._unpack_stream(pending.pop(0), conf)
+                yield from self._unpack_stream(pending.pop(0), conf, tstate)
         while pending:
-            yield from self._unpack_stream(pending.pop(0), conf)
+            yield from self._unpack_stream(pending.pop(0), conf, tstate)
+        if tstate.get("truncated_batches", 0) > 1:
+            print(f"NOTE: NMS candidate truncation occurred in "
+                  f"{tstate['truncated_batches']} batches of this stream.")
 
-    def _unpack_stream(self, item, conf):
+    def _unpack_stream(self, item, conf, tstate: Optional[Dict] = None):
         out, metas = item
         out = jax.device_get(out)
         nms = self._nms_of(out)
         if nms is not None:
-            _warn_if_truncated(nms)
+            _warn_if_truncated(nms, tstate)
         for i, meta in enumerate(metas):
             yield self._stream_results(out, i, conf, meta)
 
@@ -1609,6 +1623,79 @@ class Classifier(BaseTask):
                         for i in order[:5]])
         return out
 
+    def predict_stream(self, images, batch_size: int = 16,
+                       imgsz: Optional[int] = None,
+                       predict_threshold=None, iou_threshold=None,
+                       workers: int = 4, mesh=None):
+        """Pipelined streaming classification: yields one top-5
+        ``List[YoloResult]`` per input image, in order. Preprocessing is
+        the val-time eval pipeline (resize shorter side to imgsz, center
+        crop — dataset.py ClassificationDataset.get), run on a host
+        worker pool; batches stream through a depth-2 device pipeline
+        like the detect families (the reference classifies one image per
+        call, Models/Classifier.cs:28-59)."""
+        import cv2
+
+        variables = self._predict_variables()
+        s = imgsz or self.config.image_size
+        sharding = None
+        if mesh is not None:
+            from .parallel.mesh import DATA_AXIS, batch_sharding
+
+            dp = mesh.shape[DATA_AXIS]
+            batch_size = -(-batch_size // dp) * dp
+            sharding = batch_sharding(mesh)
+            variables = self._replicated_vars(mesh, variables)
+        fn = self._predict_fn((batch_size, s, s, 3))
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        from .data.loader import device_prefetch
+
+        def prep_one(im):
+            im = np.asarray(im, np.uint8)
+            h, w = im.shape[:2]
+            r = s / min(h, w)
+            im = cv2.resize(im, (max(s, int(w * r)), max(s, int(h * r))))
+            h, w = im.shape[:2]
+            top, left = (h - s) // 2, (w - s) // 2
+            return im[top:top + s, left:left + s]
+
+        def host_batches():
+            with ThreadPoolExecutor(max(1, workers)) as pool:
+                buf = []
+                for out in pool.map(prep_one, images):
+                    buf.append(out)
+                    if len(buf) == batch_size:
+                        yield np.stack(buf), batch_size
+                        buf = []
+                if buf:
+                    n = len(buf)
+                    buf += [buf[-1]] * (batch_size - n)
+                    yield np.stack(buf), n
+
+        def put(item):
+            batch, n = item
+            if sharding is not None:
+                return jax.device_put(batch, sharding), n
+            return jnp.asarray(batch), n
+
+        def unpack(item):
+            out, n = item
+            probs = np.asarray(jax.device_get(out))[:n]
+            for p in probs:
+                order = np.argsort(-p)
+                yield [YoloResult(class_id=int(i), score=float(p[i]))
+                       for i in order[:5]]
+
+        pending = []
+        for jb, n in device_prefetch(host_batches(), put, depth=2):
+            pending.append((fn(variables, jb), n))
+            if len(pending) >= 2:
+                yield from unpack(pending.pop(0))
+        while pending:
+            yield from unpack(pending.pop(0))
+
 
 _TASKS = {TaskType.detect: Detector, TaskType.segment: Segmenter,
           TaskType.obb: Obber, TaskType.pose: PoseDetector,
@@ -1666,9 +1753,10 @@ class YoloTask:
                        predict_threshold: Optional[float] = None,
                        iou_threshold: Optional[float] = None,
                        workers: int = 4, mesh=None):
-        """Pipelined streaming inference (detect/segment/obb/pose):
-        yields one List[YoloResult] per input image in original-image
-        coordinates; host letterbox pool + transfer thread + depth-2
+        """Pipelined streaming inference (all five task families):
+        yields one List[YoloResult] per input image — original-image
+        coordinates for detect/segment/obb/pose, top-5 class scores for
+        classify; host preprocessing pool + transfer thread + depth-2
         device pipeline, optionally data-parallel over a mesh."""
         return self.task.predict_stream(
             images, batch_size=batch_size, imgsz=imgsz,
