@@ -216,6 +216,10 @@ class Config:
     # compiles O(buckets) eval programs instead of O(batches). 0 = exact
     # per-batch shapes (reference behavior, one compile per shape).
     val_shape_buckets: int = 4
+    # Print a one-line advisory at train start when the per-chip batch
+    # underfills the chip (measured v5e occupancy: b16->b64 is 1.8x
+    # device throughput at v8n-320 — utils/training.py occupancy_hint).
+    occupancy_hint: bool = True
     max_labels: Optional[int] = None   # per-image gt padding (None = auto)
     mesh_shape: Optional[Tuple[int, ...]] = None  # data-parallel mesh (auto)
     cache_images: bool = True          # eager RAM cache like the reference

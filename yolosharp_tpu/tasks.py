@@ -387,6 +387,13 @@ class BaseTask:
                   f"(continuing at epoch {start_epoch}).")
 
         mesh = self._make_mesh(cfg.batch_size)
+        if cfg.occupancy_hint:
+            from .utils.training import occupancy_hint
+
+            n_dev = len(mesh.devices.flat) if mesh is not None else 1
+            hint = occupancy_hint(cfg.batch_size // n_dev, cfg.image_size)
+            if hint:
+                print(hint)
         if mesh is not None:
             # device-augmented mosaic partners must stay within each
             # data-parallel shard (no cross-device tile gathers)

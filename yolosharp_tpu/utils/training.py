@@ -13,6 +13,32 @@ from datetime import datetime
 from typing import Sequence
 
 
+def occupancy_hint(batch_per_device: int, image_size: int) -> str | None:
+    """One-line advisory when the per-chip training batch underfills the
+    chip. The measured v5e occupancy curve (BASELINE.md, round-3 batch
+    sweep, v8n-320): b16 9.95 ms -> b32 14.6 ms -> b64 22.1 ms/step,
+    i.e. 1608 -> 2193 -> 2896 img/s — a 1.8x device-throughput gain from
+    b16 to b64 at the same per-image math. The reference protocol (and
+    its C#/libtorch memory ceiling) uses small batches; on TPU the user
+    can simply buy that 1.8x. Normalized by pixel count so the measured
+    64x320^2 saturation point transfers across image sizes; returns None
+    when the batch already saturates (or on the boundary)."""
+    if batch_per_device <= 0 or image_size <= 0:
+        return None
+    work = batch_per_device * (image_size / 320.0) ** 2
+    if work >= 64:
+        return None
+    # cap the extrapolation: the curve was measured to 64x320^2 and tiny
+    # debug image sizes would otherwise suggest absurd thousands-per-chip
+    suggested = min(512, max(batch_per_device + 1,
+                             int(64 / (image_size / 320.0) ** 2)))
+    return (f"HINT: batch {batch_per_device}/device at imgsz={image_size} "
+            f"underfills the chip — the measured v5e occupancy curve gains "
+            f"up to 1.8x device throughput toward batch ~{suggested}/device "
+            f"(BASELINE.md round-3 batch sweep). Larger batches change the "
+            f"effective lr schedule; scale lr or steps accordingly.")
+
+
 class EarlyStopping:
     """Patience counter on fitness = -sum(val_loss) (EarlyStopping.cs)."""
 
