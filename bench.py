@@ -80,6 +80,12 @@ HOST_S2D = os.environ.get("BENCH_HOST_S2D", "1") == "1"
 # lanes; still zero in-graph transposes — nn/common.py
 # repack_s2d_kernel_deep). BENCH_DEEP_S2D=0 skips it.
 DEEP_S2D = os.environ.get("BENCH_DEEP_S2D", "1") == "1"
+# deeper packing: conv1 also emits packed and the layer-2 C2f runs
+# entirely on the packed grid (parity-diagonal 1x1s + 3-tap packed 3x3
+# bottleneck convs: 4x dense FLOPs for full MXU lanes on the measured
+# 4.5%-MFU small-channel convs; layer 3 consumes FLOP-neutrally).
+# BENCH_DEEPER_S2D=0 skips the measurement.
+DEEPER_S2D = os.environ.get("BENCH_DEEPER_S2D", "1") == "1"
 
 
 def build_calibrated_v8s(key, batch=BATCH, imgsz=IMGSZ):
@@ -254,11 +260,11 @@ def main():
 
     from yolosharp_tpu.nn import s2d_packed_input
 
-    def make_predict(int8, packed=False, deep=False):
+    def make_predict(int8, packed=False, deep=False, deeper=False):
         def predict(v, im):
             with fused_inference(), pallas_conv(False), \
                     s2d_stride2(S2D_MAX_CIN), quant_int8(int8), \
-                    s2d_packed_input(packed, deep=deep):
+                    s2d_packed_input(packed, deep=deep, deeper=deeper):
                 preds = net.apply(v, im, False)
             if TOPK_DECODE:
                 dec, trunc = decode_inference_topk(
@@ -334,6 +340,15 @@ def main():
                 tag = "+seldec" if TOPK_DECODE else ""
                 result = {"config": f"bf16+hosts2d-deep{tag}",
                           "dt": dt_deep}
+        if DEEPER_S2D:
+            dt_deeper = measure(make_predict(int8=False, packed=True,
+                                             deeper=True),
+                                fused_vars, im=xp, tune=False)
+            extra.update(hosts2d_deeper_ips=round(BATCH / dt_deeper, 2))
+            if dt_deeper < result["dt"]:
+                tag = "+seldec" if TOPK_DECODE else ""
+                result = {"config": f"bf16+hosts2d-deeper{tag}",
+                          "dt": dt_deeper}
 
     if TRY_INT8:
         # per-workload activation calibration through the measured graph

@@ -273,3 +273,71 @@ def test_fused_inference_flag_scoping():
     with fused_inference():
         assert fused_inference_active()
     assert not fused_inference_active()
+
+
+def test_s2d_p2p_repack_exact():
+    """repack_s2d_kernel_p2p: packed-in packed-OUT equivalents of the
+    1x1/s1, 3x3/s1 and 3x3/s2 convs (the deeper-region primitives), in
+    both channel orderings, == s2d of the original conv."""
+    from yolosharp_tpu.nn.common import repack_s2d_kernel_p2p, space_to_depth2
+
+    rng = np.random.default_rng(23)
+    conv = lambda x, w, s, pad: jax.lax.conv_general_dilated(
+        x, w, (s, s), pad, dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    def to_cmajor(z):
+        b, h, w, ch = z.shape                       # (py,px,c) p-major
+        return z.reshape(b, h, w, 4, ch // 4).transpose(
+            0, 1, 2, 4, 3).reshape(b, h, w, ch)     # -> (c,py,px) c-major
+
+    for k, s in [(1, 1), (3, 1), (3, 2)]:
+        p = k // 2
+        x = jnp.asarray(rng.normal(size=(2, 32, 32, 6)), jnp.float32)
+        w = jnp.asarray(rng.normal(size=(k, k, 6, 5)), jnp.float32)
+        ref = space_to_depth2(conv(x, w, s, ((p, p), (p, p))))
+        xp = space_to_depth2(x)
+        for in_o in ("p", "c"):
+            for out_o in ("p", "c"):
+                wk, pad = repack_s2d_kernel_p2p(w, stride=s, p=p,
+                                                in_order=in_o,
+                                                out_order=out_o)
+                xin = to_cmajor(xp) if in_o == "c" else xp
+                got = conv(xin, wk, s, pad)
+                want = to_cmajor(ref) if out_o == "c" else ref
+                assert got.shape == want.shape, (k, s, in_o, out_o)
+                np.testing.assert_allclose(
+                    np.asarray(got), np.asarray(want),
+                    rtol=1e-5, atol=1e-5,
+                    err_msg=f"k={k} s={s} {in_o}->{out_o}")
+
+
+def test_s2d_deeper_packed_matches_plain_forward():
+    """Full-model fused predict under s2d_packed_input(deeper=True) —
+    stem AND conv1 emit space-to-depth packed, layer-2 C2f runs entirely
+    on the packed grid (parity-diagonal 1x1s + 3-tap packed 3x3s), layer
+    3 consumes — == plain eval forward (v8; exercises shortcut adds,
+    split/concat in c-major, and both boundary orderings)."""
+    from yolosharp_tpu.nn import fused_inference
+    from yolosharp_tpu.nn.common import host_space_to_depth2, s2d_packed_input
+
+    import jax.tree_util as jtu
+
+    cfg = ArchCfg(version="v8", size="n", task="detect", nc=8)
+    net, variables, _ = _init(cfg)
+    variables = dict(variables)
+    variables["batch_stats"] = jtu.tree_map_with_path(
+        lambda p, v: v + 0.1 if p[-1].key == "mean" else v * 1.5 + 0.01,
+        variables["batch_stats"])
+    rng = np.random.default_rng(29)
+    xin = np.asarray(rng.uniform(0, 1, (1, 64, 64, 3)), np.float32)
+    before = net.apply(variables, jnp.asarray(xin), False)
+    fused_vars = fold_bn(variables)
+    packed = jnp.asarray(host_space_to_depth2(xin))
+    with fused_inference(), s2d_packed_input(deeper=True):
+        after = net.apply(fused_vars, packed, False)
+    flat_b = jax.tree_util.tree_leaves(before)
+    flat_a = jax.tree_util.tree_leaves(after)
+    assert len(flat_a) == len(flat_b)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-3)

@@ -170,6 +170,16 @@ class Config:
     # (v8s-640 b32: 1935 vs 1682 img/s same run). Applies whenever the
     # packed path is active; exact for all four stems.
     host_s2d_deep: bool = True
+    # Deeper packing on top of deep (v8 family only): conv1 ALSO emits
+    # packed (stride-2 packed->packed) and the layer-2 C2f runs entirely
+    # on the packed grid — its 1x1 convs as parity-diagonal packed 1x1s
+    # and its 3x3/s1 bottleneck convs as 3-tap packed convs (4x dense
+    # FLOPs for 4x MXU lanes on convs XLA was measured running at ~4.5%
+    # MFU); layer 3 consumes FLOP-neutrally. Exact (tests/test_fuse.py).
+    # Measured +16.6% paired on top of deep on v5e (v8s-640 b32:
+    # 2207 vs 1894 img/s same run — 32.1% MFU). Auto-ignored for
+    # non-v8 architectures (layer 2 must be a C2f).
+    host_s2d_deeper: bool = True
     # TRAIN-side packing for the device-augment path: the mosaic render's
     # coordinate grid is a compile-time constant, so the canvas is emitted
     # 2x2 space-to-depth packed at ZERO cost (the gather writes the packed

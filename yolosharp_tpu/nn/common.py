@@ -226,8 +226,20 @@ def _s2d_set_pending(c: int) -> None:
     _S2D_PACKED.pending = c
 
 
+def _s2d_deeper_left() -> int:
+    """Remaining post-stem ConvBNs that should EMIT packed (deeper mode):
+    1 at region entry (conv1), decremented on use; 0 = next pending
+    consumer unpacks."""
+    return getattr(_S2D_PACKED, "deeper_left", 0)
+
+
+def _s2d_dec_deeper() -> None:
+    _S2D_PACKED.deeper_left = _s2d_deeper_left() - 1
+
+
 @contextlib.contextmanager
-def s2d_packed_input(enable: bool = True, deep: bool = False):
+def s2d_packed_input(enable: bool = True, deep: bool = False,
+                     deeper: bool = False):
     """Trace-time switch: the network input is ALREADY 2x2 space-to-depth
     packed on the host (host_space_to_depth2). The stem — the first
     stride-2 3x3 ConvBN, recognized by its packed 12-channel input — runs
@@ -242,18 +254,32 @@ def s2d_packed_input(enable: bool = True, deep: bool = False):
     2x2 stride-1 repacked conv, emitting a plain tensor. Both early convs
     then run with >=4x the channels (full MXU lanes) and there is still no
     in-graph space-to-depth transpose anywhere. If the layer after the
-    stem is not an eligible 3x3/s2 ConvBN the trace fails loudly."""
+    stem is not an eligible 3x3/s2 ConvBN the trace fails loudly.
+
+    deeper=True (implies deep) extends the packed region one block
+    further: conv1 ALSO emits packed (repack_s2d_kernel_p2p stride-2) and
+    the following C2f runs ENTIRELY on the packed grid — its 1x1 convs as
+    parity-block-diagonal 1x1s and its 3x3/s1 bottleneck convs as 3-tap
+    stride-1 packed convs (4x dense FLOPs for 4x MXU lane occupancy; the
+    small-channel @160^2 convs this targets were measured at ~4.5% MFU,
+    docs/ROUND_NOTES.md) — and the NEXT stride-2 ConvBN (layer 3)
+    consumes the packed tensor with the existing FLOP-neutral repack.
+    v8-family layout only (layer2 must be a C2f); anything else fails the
+    trace loudly."""
     prev, prev_deep = s2d_packed_active(), s2d_deep_active()
     prev_pending = _s2d_pending()
+    prev_deeper = _s2d_deeper_left()
     _S2D_PACKED.on = enable
-    _S2D_PACKED.deep = enable and deep
+    _S2D_PACKED.deep = enable and (deep or deeper)
     _S2D_PACKED.pending = 0
+    _S2D_PACKED.deeper_left = 1 if (enable and deeper) else 0
     try:
         yield
     finally:
         _S2D_PACKED.on = prev
         _S2D_PACKED.deep = prev_deep
         _S2D_PACKED.pending = prev_pending
+        _S2D_PACKED.deeper_left = prev_deeper
 
 
 def repack_s2d_kernel(kernel):
@@ -289,27 +315,32 @@ def repack_s2d_kernel6(kernel):
     return w2.reshape(3, 3, 4 * c, o)
 
 
-def _s2d_deep_sel(k: int, p: int):
+def _s2d_deep_sel(k: int, p: int, stride: int = 2):
     """Per-dimension selection tensor for the s2d-in -> s2d-OUT repack.
 
-    For an original stride-2 kernel of size `k`, pad `p`, acting on x with
-    both input u = s2d(x) and output z = s2d(y) on the half-res grid:
-      z[n, q] = y[2n+q] = sum_j w[j] x[2(2n+q) + j - p]
-    and x[2g + pi] = u[g, pi] gives the tap equation  j = 2s + pi + p - 2q
-    for u-grid offset g = 2n + s. Returns (sel[s, pi, q, j] in {0,1},
-    pad_lo, pad_hi, taps) such that the equivalent conv over u is stride-2
-    with `taps` taps per dim and asymmetric padding (pad_lo, pad_hi).
+    For an original stride-`stride` kernel of size `k`, pad `p`, acting on
+    x with both input u = s2d(x) and output z = s2d(y) on the half-res
+    grid:
+      z[n, q] = y[2n+q] = sum_j w[j] x[stride*(2n+q) + j - p]
+    and x[2g + pi] = u[g, pi] gives the tap equation
+      j = 2s + pi + p - stride*q
+    for u-grid offset g = stride*n + s. Returns (sel[s, pi, q, j] in
+    {0,1}, pad_lo, pad_hi, taps) such that the equivalent conv over u has
+    the SAME stride, `taps` taps per dim and asymmetric padding
+    (pad_lo, pad_hi). stride=2 is the deep stem repack; stride=1 covers
+    1x1 (k=1, p=0: the parity-diagonal) and 3x3/s1 packed convs.
     """
     import numpy as np
-    combos = [(s, pi, q, 2 * s + pi + p - 2 * q)
+    combos = [(s, pi, q, 2 * s + pi + p - stride * q)
               for s in range(-3, 4) for pi in range(2) for q in range(2)
-              if 0 <= 2 * s + pi + p - 2 * q < k]
+              if 0 <= 2 * s + pi + p - stride * q < k]
     s_vals = sorted({s for s, *_ in combos})
     assert s_vals == list(range(s_vals[0], s_vals[-1] + 1))
     sel = np.zeros((len(s_vals), 2, 2, k), np.float32)
     for s, pi, q, j in combos:
         sel[s - s_vals[0], pi, q, j] = 1.0
-    return sel, -s_vals[0], max(0, s_vals[-1] - 1), len(s_vals)
+    return (sel, -s_vals[0], max(0, s_vals[-1] - (stride - 1)),
+            len(s_vals))
 
 
 def repack_s2d_kernel_deep(kernel, p: Optional[int] = None):
@@ -329,6 +360,42 @@ def repack_s2d_kernel_deep(kernel, p: Optional[int] = None):
     #                                  * sel[sx,px,qx,jx] * w[jy,jx,c,o]
     w = jnp.einsum("aeiy,bfjx,yxco->abefijco", seln, seln, kernel)
     w = w.transpose(0, 1, 2, 3, 6, 4, 5, 7)     # (sy,sx,py,px,c,qy,qx,o)
+    t = w.shape[0]
+    return (w.reshape(t, t, 4 * c, 4 * o),
+            ((pad_lo, pad_hi), (pad_lo, pad_hi)))
+
+
+def repack_s2d_kernel_p2p(kernel, stride: int = 1, p: Optional[int] = None,
+                          in_order: str = "p", out_order: str = "p"):
+    """General s2d-packed-in -> s2d-packed-OUT kernel repack.
+
+    (K, K, C, O) stride-`stride` pad-`p` kernel on the ORIGINAL grid ->
+    the equivalent stride-`stride` kernel over the packed grid with 4C
+    in / 4O out channels. Returns (kernel', padding). Exact; the packed
+    conv runs `taps^2/(K^2/stride^2)`-times denser FLOPs in exchange for
+    4x the MXU lane occupancy (FLOP-neutral at stride 2; 4x dense at
+    stride 1 — a measured trade for the <=64-channel @>=160^2 convs XLA
+    runs at ~4.5% MFU).
+
+    Channel orderings: "p" = parity-major (py, px, c) — the
+    host_space_to_depth2 / repack_s2d_kernel convention; "c" = c-major
+    (c, py, px) — makes channel split/concat of packed tensors a
+    contiguous slice (what the packed C2f needs internally). Orderings
+    are baked into the kernel; mixing is free.
+    """
+    k = kernel.shape[0]
+    p = k // 2 if p is None else p
+    c, o = kernel.shape[2], kernel.shape[3]
+    sel, pad_lo, pad_hi, _ = _s2d_deep_sel(k, p, stride)
+    seln = jnp.asarray(sel, kernel.dtype)
+    w = jnp.einsum("aeiy,bfjx,yxco->abefijco", seln, seln, kernel)
+    # dims: (sy, sx, py, px, qy, qx, c, o)
+    if in_order == "p":
+        w = w.transpose(0, 1, 2, 3, 6, 4, 5, 7)  # (sy,sx,py,px,c,qy,qx,o)
+    else:
+        w = w.transpose(0, 1, 6, 2, 3, 4, 5, 7)  # (sy,sx,c,py,px,qy,qx,o)
+    if out_order == "c":
+        w = w.transpose(0, 1, 2, 3, 4, 7, 5, 6)  # (..., o, qy, qx)
     t = w.shape[0]
     return (w.reshape(t, t, 4 * c, 4 * o),
             ((pad_lo, pad_hi), (pad_lo, pad_hi)))
@@ -487,6 +554,19 @@ class ConvBN(nn.Module):
                     f"this architecture (got k={self.k} s={self.s} "
                     f"cin={x.shape[-1]} expecting {4 * c1})")
             kernel = _KernelParam((3, 3, c1, self.c2), name="conv")()
+            if _s2d_deeper_left() > 0:
+                # deeper region: this conv (conv1) ALSO emits packed —
+                # stride-2 packed->packed (FLOP-neutral) — and flags the
+                # following block (a C2f) to run on the packed grid.
+                _s2d_dec_deeper()
+                keff, pad = repack_s2d_kernel_p2p(kernel, stride=2, p=1)
+                y = jax.lax.conv_general_dilated(
+                    x, keff.astype(x.dtype), (2, 2), pad,
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                bias = _BiasParam(self.c2, name="bn")()
+                y = y + jnp.tile(bias, 4).astype(y.dtype)
+                _s2d_set_pending(self.c2)
+                return ACTS[self.act](y)
             y = jax.lax.conv_general_dilated(
                 x, repack_s2d_kernel(kernel).astype(x.dtype), (1, 1),
                 ((1, 0), (1, 0)),
@@ -997,6 +1077,49 @@ class C2f(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         c = int(self.c2 * self.e)
+        # deeper-packing handshake (s2d_packed_input(deeper=True)): conv1
+        # emitted its output space-to-depth packed; run the WHOLE block on
+        # the packed grid — 1x1 convs as parity-diagonal packed 1x1s and
+        # the 3x3/s1 bottleneck convs as 3-tap packed convs (4x dense
+        # FLOPs for full MXU lanes) — and emit packed for the next
+        # stride-2 ConvBN to consume. Internal tensors are c-major so the
+        # reference's channel split/concat (Block.cs:371-399) stays a
+        # contiguous slice; boundary tensors are p-major. Exact.
+        if (_s2d_pending() and not train and fused_inference_active()
+                and len(x.shape) == 4):
+            c1 = _s2d_pending()
+            _s2d_set_pending(0)
+            if not (self.g == 1 and x.shape[-1] == 4 * c1):
+                raise ValueError(
+                    "s2d deeper packing: C2f after conv1 is not eligible "
+                    f"(g={self.g}, cin={x.shape[-1]}, expected {4 * c1})")
+            dt = x.dtype
+
+            def pconv(xp, w, b, stride, in_order, out_order):
+                keff, pad = repack_s2d_kernel_p2p(
+                    w, stride=stride, in_order=in_order,
+                    out_order=out_order)
+                y = jax.lax.conv_general_dilated(
+                    xp, keff.astype(dt), (stride, stride), pad,
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                rep = (jnp.repeat(b, 4) if out_order == "c"
+                       else jnp.tile(b, 4))
+                return ACTS["silu"](y + rep.astype(dt))
+
+            w1, b1 = _ConvBNParams((1, 1, c1, 2 * c), 2 * c, name="cv1")()
+            y0 = pconv(x, w1, b1, 1, "p", "c")        # (B,H,W, 4*2c)
+            ys = [y0[..., :4 * c], y0[..., 4 * c:]]   # c-major: contiguous
+            for i in range(self.n):
+                wm1, bm1, wm2, bm2 = _BottleneckParams(
+                    c, c, name=f"m.{i}")()
+                h = pconv(ys[-1], wm1, bm1, 1, "c", "c")
+                h = pconv(h, wm2, bm2, 1, "c", "c")
+                ys.append(ys[-1] + h if self.shortcut else h)
+            w2, b2 = _ConvBNParams((1, 1, (2 + self.n) * c, self.c2),
+                                   self.c2, name="cv2")()
+            out = pconv(jnp.concatenate(ys, -1), w2, b2, 1, "c", "p")
+            _s2d_set_pending(self.c2)
+            return out
         if (not train and fused_inference_active() and pallas_conv_active()
                 and len(x.shape) == 4):
             from ..kernels.c2f import c2f_eligible, c2f_fused
