@@ -86,6 +86,9 @@ DEEP_S2D = os.environ.get("BENCH_DEEP_S2D", "1") == "1"
 # 4.5%-MFU small-channel convs; layer 3 consumes FLOP-neutrally).
 # BENCH_DEEPER_S2D=0 skips the measurement.
 DEEPER_S2D = os.environ.get("BENCH_DEEPER_S2D", "1") == "1"
+# depth-2 region (conv2 + layer-4 C2f too; the layer-4 skip output
+# unpacks via one depth-to-space at 1/4 resolution).
+DEEPER2_S2D = os.environ.get("BENCH_DEEPER2_S2D", "1") == "1"
 
 
 def build_calibrated_v8s(key, batch=BATCH, imgsz=IMGSZ):
@@ -342,13 +345,25 @@ def main():
                           "dt": dt_deep}
         if DEEPER_S2D:
             dt_deeper = measure(make_predict(int8=False, packed=True,
-                                             deeper=True),
+                                             deeper=1),
                                 fused_vars, im=xp, tune=False)
             extra.update(hosts2d_deeper_ips=round(BATCH / dt_deeper, 2))
             if dt_deeper < result["dt"]:
                 tag = "+seldec" if TOPK_DECODE else ""
                 result = {"config": f"bf16+hosts2d-deeper{tag}",
                           "dt": dt_deeper}
+        if DEEPER2_S2D:
+            # depth-2 candidate: the packed region also swallows conv2 +
+            # the layer-4 C2f (a skip source — its final 1x1 emits plain
+            # via one cheap depth-to-space at quarter resolution)
+            dt_deeper2 = measure(make_predict(int8=False, packed=True,
+                                              deeper=2),
+                                 fused_vars, im=xp, tune=False)
+            extra.update(hosts2d_deeper2_ips=round(BATCH / dt_deeper2, 2))
+            if dt_deeper2 < result["dt"]:
+                tag = "+seldec" if TOPK_DECODE else ""
+                result = {"config": f"bf16+hosts2d-deeper2{tag}",
+                          "dt": dt_deeper2}
 
     if TRY_INT8:
         # per-workload activation calibration through the measured graph

@@ -31,6 +31,8 @@ def main():
     trace_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/xprof_predict"
     s2d = int(os.environ.get("BENCH_S2D", "0"))
     packed = os.environ.get("BENCH_PACKED", "1") == "1"
+    deep = os.environ.get("BENCH_DEEP", "1") == "1"
+    deeper = os.environ.get("BENCH_DEEPER", "1") == "1"
     int8 = os.environ.get("BENCH_INT8", "0") == "1"
 
     from bench import build_calibrated_v8s
@@ -58,7 +60,8 @@ def main():
     @jax.jit
     def predict(v, im):
         with fused_inference(), pallas_conv(False), s2d_stride2(s2d), \
-                quant_int8(int8), s2d_packed_input(packed):
+                quant_int8(int8), s2d_packed_input(packed, deep=deep,
+                                                   deeper=deeper):
             preds = net.apply(v, im, False)
         dec, trunc = decode_inference_topk(preds["one2many"], nc=80,
                                            conf_thres=0.25, k=512)
@@ -73,7 +76,8 @@ def main():
     float(out.scores.sum())
     jax.profiler.stop_trace()
     print(f"trace written to {trace_dir} (config: packed={packed} s2d={s2d} "
-          f"int8={int8}, ~{n_cand} cand/img, 3 batches)")
+          f"deep={deep} deeper={deeper} int8={int8}, ~{n_cand} cand/img, "
+          f"3 batches)")
 
     pbs = glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"),
                     recursive=True)

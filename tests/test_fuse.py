@@ -3,6 +3,7 @@
 import math
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -311,18 +312,24 @@ def test_s2d_p2p_repack_exact():
                     err_msg=f"k={k} s={s} {in_o}->{out_o}")
 
 
-def test_s2d_deeper_packed_matches_plain_forward():
-    """Full-model fused predict under s2d_packed_input(deeper=True) —
-    stem AND conv1 emit space-to-depth packed, layer-2 C2f runs entirely
-    on the packed grid (parity-diagonal 1x1s + 3-tap packed 3x3s), layer
-    3 consumes — == plain eval forward (v8; exercises shortcut adds,
-    split/concat in c-major, and both boundary orderings)."""
+@pytest.mark.parametrize("version,depth", [("v8", 1), ("v8", 2),
+                                            ("v5u", 1), ("v5u", 2),
+                                            ("v11", 1), ("v11", 2),
+                                            ("v12", 1), ("v12", 2)])
+def test_s2d_deeper_packed_matches_plain_forward(version, depth):
+    """Full-model fused predict under s2d_packed_input(deeper=depth) —
+    stem and the next `depth` stride-2 convs emit space-to-depth packed
+    and the CSP block after each (C2f / C3k2 / C3) runs entirely on the
+    packed grid (parity-diagonal 1x1s + 3-tap packed 3x3s), then the next
+    stride-2 conv consumes — == plain eval forward (exercises shortcut
+    adds, split/concat in c-major, the parallel-branch C3, the e=0.25
+    C3k2, and both boundary orderings)."""
     from yolosharp_tpu.nn import fused_inference
     from yolosharp_tpu.nn.common import host_space_to_depth2, s2d_packed_input
 
     import jax.tree_util as jtu
 
-    cfg = ArchCfg(version="v8", size="n", task="detect", nc=8)
+    cfg = ArchCfg(version=version, size="n", task="detect", nc=8)
     net, variables, _ = _init(cfg)
     variables = dict(variables)
     variables["batch_stats"] = jtu.tree_map_with_path(
@@ -333,7 +340,7 @@ def test_s2d_deeper_packed_matches_plain_forward():
     before = net.apply(variables, jnp.asarray(xin), False)
     fused_vars = fold_bn(variables)
     packed = jnp.asarray(host_space_to_depth2(xin))
-    with fused_inference(), s2d_packed_input(deeper=True):
+    with fused_inference(), s2d_packed_input(deeper=depth):
         after = net.apply(fused_vars, packed, False)
     flat_b = jax.tree_util.tree_leaves(before)
     flat_a = jax.tree_util.tree_leaves(after)

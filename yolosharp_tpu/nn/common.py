@@ -194,6 +194,15 @@ def space_to_depth2(x):
     return x.reshape(b, h // 2, w // 2, 4 * c)
 
 
+def depth_to_space2(x):
+    """Inverse of space_to_depth2: (B, H, W, 4C) -> (B, 2H, 2W, C)."""
+    b, h, w, c4 = x.shape
+    c = c4 // 4
+    x = x.reshape(b, h, w, 2, 2, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, 2 * h, 2 * w, c)
+
+
 def host_space_to_depth2(x):
     """numpy twin of space_to_depth2 — pack on the HOST so the stem's s2d
     rewrite pays no in-graph transpose (the transpose is what made the
@@ -237,9 +246,19 @@ def _s2d_dec_deeper() -> None:
     _S2D_PACKED.deeper_left = _s2d_deeper_left() - 1
 
 
+def _s2d_final_plain() -> bool:
+    """True when the LAST packed CSP block must emit a plain tensor via
+    one depth-to-space (its output is an FPN skip source — layer 4 in
+    all four arch tables — so a packed emit would leak to the neck
+    concat). Auto-set for region depth >= 2; at depth 1 the final block
+    (layer 2, never saved) emits packed for the FLOP-neutral conv
+    consume."""
+    return getattr(_S2D_PACKED, "final_plain", False)
+
+
 @contextlib.contextmanager
 def s2d_packed_input(enable: bool = True, deep: bool = False,
-                     deeper: bool = False):
+                     deeper: int = 0):
     """Trace-time switch: the network input is ALREADY 2x2 space-to-depth
     packed on the host (host_space_to_depth2). The stem — the first
     stride-2 3x3 ConvBN, recognized by its packed 12-channel input — runs
@@ -256,23 +275,26 @@ def s2d_packed_input(enable: bool = True, deep: bool = False,
     in-graph space-to-depth transpose anywhere. If the layer after the
     stem is not an eligible 3x3/s2 ConvBN the trace fails loudly.
 
-    deeper=True (implies deep) extends the packed region one block
-    further: conv1 ALSO emits packed (repack_s2d_kernel_p2p stride-2) and
-    the following C2f runs ENTIRELY on the packed grid — its 1x1 convs as
-    parity-block-diagonal 1x1s and its 3x3/s1 bottleneck convs as 3-tap
-    stride-1 packed convs (4x dense FLOPs for 4x MXU lane occupancy; the
-    small-channel @160^2 convs this targets were measured at ~4.5% MFU,
-    docs/ROUND_NOTES.md) — and the NEXT stride-2 ConvBN (layer 3)
-    consumes the packed tensor with the existing FLOP-neutral repack.
-    v8-family layout only (layer2 must be a C2f); anything else fails the
-    trace loudly."""
+    deeper (an int depth; True = 1; implies deep) extends the packed
+    region `deeper` ConvBN+CSP-block pairs further: each of the next
+    `deeper` stride-2 ConvBNs (conv1, then conv2, ...) ALSO emits packed
+    (repack_s2d_kernel_p2p stride-2, FLOP-neutral) and the CSP block
+    after it (C2f / C3k2(c3k=False) / C3) runs ENTIRELY on the packed
+    grid — its 1x1 convs as parity-block-diagonal 1x1s and its 3x3/s1
+    bottleneck convs as 3-tap stride-1 packed convs (4x dense FLOPs for
+    4x MXU lane occupancy; the small-channel high-res convs this targets
+    were measured at ~4.5% MFU, docs/ROUND_NOTES.md) — then the next
+    stride-2 ConvBN consumes the packed tensor with the FLOP-neutral
+    unpack repack. Anything ineligible fails the trace loudly."""
     prev, prev_deep = s2d_packed_active(), s2d_deep_active()
     prev_pending = _s2d_pending()
     prev_deeper = _s2d_deeper_left()
+    prev_final = _s2d_final_plain()
     _S2D_PACKED.on = enable
-    _S2D_PACKED.deep = enable and (deep or deeper)
+    _S2D_PACKED.deep = enable and (deep or bool(deeper))
     _S2D_PACKED.pending = 0
-    _S2D_PACKED.deeper_left = 1 if (enable and deeper) else 0
+    _S2D_PACKED.deeper_left = int(deeper) if enable else 0
+    _S2D_PACKED.final_plain = enable and int(deeper) >= 2
     try:
         yield
     finally:
@@ -280,6 +302,7 @@ def s2d_packed_input(enable: bool = True, deep: bool = False,
         _S2D_PACKED.deep = prev_deep
         _S2D_PACKED.pending = prev_pending
         _S2D_PACKED.deeper_left = prev_deeper
+        _S2D_PACKED.final_plain = prev_final
 
 
 def repack_s2d_kernel(kernel):
@@ -363,6 +386,21 @@ def repack_s2d_kernel_deep(kernel, p: Optional[int] = None):
     t = w.shape[0]
     return (w.reshape(t, t, 4 * c, 4 * o),
             ((pad_lo, pad_hi), (pad_lo, pad_hi)))
+
+
+def _pconv_bn(x, w, b, *, stride: int = 1, in_order: str = "p",
+              out_order: str = "p", act: str = "silu"):
+    """Folded ConvBN on an s2d-PACKED tensor: the original (K,K,C,O)
+    stride-`stride` conv runs as its packed->packed equivalent
+    (repack_s2d_kernel_p2p) with the folded-BN bias replicated over the
+    4 parity blocks in the requested output ordering."""
+    keff, pad = repack_s2d_kernel_p2p(w, stride=stride, in_order=in_order,
+                                      out_order=out_order)
+    y = jax.lax.conv_general_dilated(
+        x, keff.astype(x.dtype), (stride, stride), pad,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    rep = jnp.repeat(b, 4) if out_order == "c" else jnp.tile(b, 4)
+    return ACTS[act](y + rep.astype(x.dtype))
 
 
 def repack_s2d_kernel_p2p(kernel, stride: int = 1, p: Optional[int] = None,
@@ -1051,16 +1089,21 @@ class _ConvBNParams(nn.Module):
 
 
 class _BottleneckParams(nn.Module):
-    """Folded-param holder matching Bottleneck's tree (cv1 + cv2)."""
+    """Folded-param holder matching Bottleneck's tree (cv1 + cv2).
+    hidden/k generalize to the e=0.5 (C3k2) and (1,3)-kernel (C3)
+    bottleneck variants."""
 
     cin: int
     c: int
+    hidden: Optional[int] = None
+    k: Tuple[int, int] = (3, 3)
 
     @nn.compact
     def __call__(self):
-        k1, b1 = _ConvBNParams((3, 3, self.cin, self.c), self.c,
+        h = self.c if self.hidden is None else self.hidden
+        k1, b1 = _ConvBNParams((self.k[0], self.k[0], self.cin, h), h,
                                name="cv1")()
-        k2, b2 = _ConvBNParams((3, 3, self.c, self.c), self.c,
+        k2, b2 = _ConvBNParams((self.k[1], self.k[1], h, self.c), self.c,
                                name="cv2")()
         return k1, b1, k2, b2
 
@@ -1093,31 +1136,21 @@ class C2f(nn.Module):
                 raise ValueError(
                     "s2d deeper packing: C2f after conv1 is not eligible "
                     f"(g={self.g}, cin={x.shape[-1]}, expected {4 * c1})")
-            dt = x.dtype
-
-            def pconv(xp, w, b, stride, in_order, out_order):
-                keff, pad = repack_s2d_kernel_p2p(
-                    w, stride=stride, in_order=in_order,
-                    out_order=out_order)
-                y = jax.lax.conv_general_dilated(
-                    xp, keff.astype(dt), (stride, stride), pad,
-                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
-                rep = (jnp.repeat(b, 4) if out_order == "c"
-                       else jnp.tile(b, 4))
-                return ACTS["silu"](y + rep.astype(dt))
-
             w1, b1 = _ConvBNParams((1, 1, c1, 2 * c), 2 * c, name="cv1")()
-            y0 = pconv(x, w1, b1, 1, "p", "c")        # (B,H,W, 4*2c)
+            y0 = _pconv_bn(x, w1, b1, in_order="p", out_order="c")
             ys = [y0[..., :4 * c], y0[..., 4 * c:]]   # c-major: contiguous
             for i in range(self.n):
                 wm1, bm1, wm2, bm2 = _BottleneckParams(
                     c, c, name=f"m.{i}")()
-                h = pconv(ys[-1], wm1, bm1, 1, "c", "c")
-                h = pconv(h, wm2, bm2, 1, "c", "c")
+                h = _pconv_bn(ys[-1], wm1, bm1, in_order="c", out_order="c")
+                h = _pconv_bn(h, wm2, bm2, in_order="c", out_order="c")
                 ys.append(ys[-1] + h if self.shortcut else h)
             w2, b2 = _ConvBNParams((1, 1, (2 + self.n) * c, self.c2),
                                    self.c2, name="cv2")()
-            out = pconv(jnp.concatenate(ys, -1), w2, b2, 1, "c", "p")
+            out = _pconv_bn(jnp.concatenate(ys, -1), w2, b2,
+                            in_order="c", out_order="p")
+            if _s2d_deeper_left() == 0 and _s2d_final_plain():
+                return depth_to_space2(out)   # skip-source block: unpack
             _s2d_set_pending(self.c2)
             return out
         if (not train and fused_inference_active() and pallas_conv_active()
@@ -1159,6 +1192,35 @@ class C3(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         c_ = int(self.c2 * self.e)
+        # deeper-packing handshake — the packed-grid rewrite for the v5u
+        # layer-2 C3 (parallel cv1/cv2 1x1s + (1,3)-kernel bottlenecks +
+        # cv3); same machinery as the C2f branch. Exact.
+        if (_s2d_pending() and not train and fused_inference_active()
+                and len(x.shape) == 4):
+            c1 = _s2d_pending()
+            _s2d_set_pending(0)
+            if not (self.g == 1 and x.shape[-1] == 4 * c1):
+                raise ValueError(
+                    "s2d deeper packing: C3 after conv1 is not eligible "
+                    f"(g={self.g}, cin={x.shape[-1]}, expected {4 * c1})")
+            w1, b1 = _ConvBNParams((1, 1, c1, c_), c_, name="cv1")()
+            a = _pconv_bn(x, w1, b1, in_order="p", out_order="c")
+            for i in range(self.n):
+                wm1, bm1, wm2, bm2 = _BottleneckParams(
+                    c_, c_, k=self.m_kernels, name=f"m.{i}")()
+                h = _pconv_bn(a, wm1, bm1, in_order="c", out_order="c")
+                h = _pconv_bn(h, wm2, bm2, in_order="c", out_order="c")
+                a = a + h if self.shortcut else h
+            w2, b2 = _ConvBNParams((1, 1, c1, c_), c_, name="cv2")()
+            bb = _pconv_bn(x, w2, b2, in_order="p", out_order="c")
+            w3, b3 = _ConvBNParams((1, 1, 2 * c_, self.c2), self.c2,
+                                   name="cv3")()
+            out = _pconv_bn(jnp.concatenate([a, bb], -1), w3, b3,
+                            in_order="c", out_order="p")
+            if _s2d_deeper_left() == 0 and _s2d_final_plain():
+                return depth_to_space2(out)   # skip-source block: unpack
+            _s2d_set_pending(self.c2)
+            return out
         a = ConvBN(c_, 1, 1, name="cv1")(x, train)
         for i in range(self.n):
             a = Bottleneck(c_, self.shortcut, self.g, self.m_kernels, 1.0,
@@ -1230,6 +1292,36 @@ class C3k2(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         c = int(self.c2 * self.e)
+        # deeper-packing handshake — same packed-grid rewrite as C2f (see
+        # there); covers the v11/v12 layer-2 C3k2 with plain bottlenecks
+        # (c3k=False, the n/s sizes). Exact.
+        if (_s2d_pending() and not train and fused_inference_active()
+                and len(x.shape) == 4):
+            c1 = _s2d_pending()
+            _s2d_set_pending(0)
+            if not (self.g == 1 and not self.c3k
+                    and x.shape[-1] == 4 * c1):
+                raise ValueError(
+                    "s2d deeper packing: C3k2 after conv1 is not eligible "
+                    f"(g={self.g}, c3k={self.c3k}, cin={x.shape[-1]}, "
+                    f"expected {4 * c1})")
+            w1, b1 = _ConvBNParams((1, 1, c1, 2 * c), 2 * c, name="cv1")()
+            y0 = _pconv_bn(x, w1, b1, in_order="p", out_order="c")
+            ys = [y0[..., :4 * c], y0[..., 4 * c:]]
+            for i in range(self.n):
+                wm1, bm1, wm2, bm2 = _BottleneckParams(
+                    c, c, hidden=int(c * 0.5), name=f"m.{i}")()
+                h = _pconv_bn(ys[-1], wm1, bm1, in_order="c", out_order="c")
+                h = _pconv_bn(h, wm2, bm2, in_order="c", out_order="c")
+                ys.append(ys[-1] + h if self.shortcut else h)
+            w2, b2 = _ConvBNParams((1, 1, (2 + self.n) * c, self.c2),
+                                   self.c2, name="cv2")()
+            out = _pconv_bn(jnp.concatenate(ys, -1), w2, b2,
+                            in_order="c", out_order="p")
+            if _s2d_deeper_left() == 0 and _s2d_final_plain():
+                return depth_to_space2(out)   # skip-source block: unpack
+            _s2d_set_pending(self.c2)
+            return out
         y = list(jnp.split(ConvBN(2 * c, 1, 1, name="cv1")(x, train), 2, axis=-1))
         for i in range(self.n):
             if self.c3k:

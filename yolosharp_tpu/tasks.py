@@ -163,9 +163,16 @@ class BaseTask:
                           and jax.default_backend() == "tpu")
             use_int8 = (self.config.int8_predict
                         and getattr(self, "_quant_stats", None) is not None)
-            deeper = (packed and self.config.host_s2d_deep
-                      and self.config.host_s2d_deeper
-                      and self.arch.version == "v8")
+            # deeper-region eligibility: layer 2 (and 4, at depth 2) must
+            # be a packed-rewritable CSP block — C2f (v8), C3 (v5u), or
+            # C3k2 with plain bottlenecks (v11/v12 n+s sizes; m/l/x use
+            # C3k inner blocks the packed rewrite doesn't cover)
+            ver, size = self.arch.version, self.arch.size
+            eligible = (ver in ("v8", "v5u")
+                        or (ver in ("v11", "v12") and size in ("n", "s")))
+            deeper = (int(self.config.host_s2d_deeper)
+                      if (packed and self.config.host_s2d_deep and eligible)
+                      else 0)
             with fused_inference(), pallas_conv(use_pallas), \
                     s2d_stride2(self.config.s2d_max_cin), \
                     quant_int8(use_int8), s2d_packed_input(
