@@ -75,10 +75,12 @@ def main():
     fmts = compiled.input_formats
     im_fmt = jax.tree_util.tree_leaves(fmts)[-1]  # (vars..., im)
     print("chosen im format:", im_fmt)
-    v_fmt, x_fmt = fmts
-    vars_auto = jax.tree_util.tree_map(jax.device_put, dict(fused_vars),
-                                       dict(v_fmt))
-    xp_auto = jax.device_put(xp, x_fmt)
+    flat_f = jax.tree_util.tree_leaves(fmts)
+    flat_a, treedef = jax.tree_util.tree_flatten((fused_vars, xp))
+    assert len(flat_f) == len(flat_a), (len(flat_f), len(flat_a))
+    placed = [jax.device_put(a, f) if f.layout is not None else a
+              for a, f in zip(flat_a, flat_f)]
+    vars_auto, xp_auto = jax.tree_util.tree_unflatten(treedef, placed)
     dt1 = timeit(compiled, vars_auto, xp_auto)
     print(f"auto layout:    {dt1 * 1e3:.2f} ms/batch "
           f"({xp.shape[0] / dt1:.1f} img/s)  "
