@@ -86,7 +86,7 @@ def build(render: bool = False):
 
 
 def make_run(net, compiler_options=None, s2d_train=0, packed_render=False,
-             render=False, separable=False):
+             render=False, separable=False, packed_depth=0):
     import contextlib
 
     from yolosharp_tpu.nn.common import s2d_packed_input, s2d_stride2
@@ -111,8 +111,10 @@ def make_run(net, compiler_options=None, s2d_train=0, packed_render=False,
             def loss_of(params):
                 variables = {"params": params,
                              "batch_stats": st.batch_stats}
-                ctx = (s2d_packed_input() if packed_render
-                       else contextlib.nullcontext())
+                ctx = (s2d_packed_input(deep=packed_depth >= 1,
+                                        deeper=max(0, packed_depth - 1),
+                                        allow_train=packed_depth >= 1)
+                       if packed_render else contextlib.nullcontext())
                 with s2d_stride2(s2d_train, allow_train=s2d_train > 0), ctx:
                     preds, upd = net.apply(variables, images, True,
                                            mutable=["batch_stats"])
@@ -149,7 +151,8 @@ def measure(run, state, batch):
 def main():
     pairs = int(sys.argv[1]) if len(sys.argv) > 1 else 3
     want = set(sys.argv[2:])
-    render = (bool({"render", "renderpack", "sep", "seppack"} & want)
+    render = (bool({"render", "renderpack", "sep", "seppack",
+                    "sppd1", "sppd2"} & want)
               if want else False)
     net, state, batch = build(render=render)
     ctrl = make_run(net, render=render)
@@ -172,7 +175,14 @@ def main():
         # and without the packed canvas. Control stays the gather render.
         ("sep", None, 0, False),
         ("seppack", None, 0, True),
+        # packed TRAIN region (make_train_step packed_depth): the stem
+        # emits s2d-packed (+conv1 consumes) at depth 1; at depth 2 conv1
+        # also emits and the layer-2 CSP runs on the packed grid with
+        # real parity-axis BN. Both ride the separable packed render.
+        ("sppd1", None, 0, True),
+        ("sppd2", None, 0, True),
     ]
+    depths = {"sppd1": 1, "sppd2": 2}
     runs = []
     for name, opts, s2d, prender in cands:
         if want and name not in want:
@@ -182,8 +192,9 @@ def main():
                                         packed_render=prender,
                                         render=render or prender
                                         or name in ("render", "sep"),
-                                        separable=name in ("sep",
-                                                           "seppack"))))
+                                        separable=name in ("sep", "seppack",
+                                                           "sppd1", "sppd2"),
+                                        packed_depth=depths.get(name, 0))))
         except Exception as e:
             print(f"{name}: UNSUPPORTED ({type(e).__name__}: {e})",
                   flush=True)

@@ -8,6 +8,9 @@ assigner vs optimizer), so the next optimization round aims at the
 actual sink.
 
 Usage: python scripts/profile_train.py [trace_dir=/tmp/xprof_train]
+Env: YS_RENDER=1 traces the PRODUCTION step (device-augment separable
+     packed render fused in — the shipped defaults) instead of the
+     host-images step; YS_IMGSZ sizes the workload (default 320).
 """
 
 from __future__ import annotations
@@ -28,11 +31,14 @@ import perf_train_tuning as T
 
 def main():
     trace_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/xprof_train"
+    render = os.environ.get("YS_RENDER", "0") == "1"
+    kw = (dict(render=True, packed_render=True, separable=True)
+          if render else {})
     # batch sweep: same model, b16/b32/b64 (n-labels fixed at 16)
     for b in (16, 32, 64):
         T.BATCH = b
-        net, state, batch = T.build()
-        run = T.make_run(net)
+        net, state, batch = T.build(render=render)
+        run = T.make_run(net, **kw)
         dt, ips = T.measure(run, state, batch)
         mfu = ips * T.GFLOPS_PER_IMG / 1e3 / T.PEAK_TFLOPS
         print(f"b{b:<3d}: {dt*1e3:6.2f} ms/step  {ips:7.1f} img/s  "
@@ -40,8 +46,8 @@ def main():
 
     # xprof trace of the b16 step (the protocol batch size)
     T.BATCH = 16
-    net, state, batch = T.build()
-    run = T.make_run(net)
+    net, state, batch = T.build(render=render)
+    run = T.make_run(net, **kw)
     float(run(state, batch))            # compile outside the trace
     jax.profiler.start_trace(trace_dir)
     float(run(state, batch))

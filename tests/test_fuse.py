@@ -348,3 +348,63 @@ def test_s2d_deeper_packed_matches_plain_forward(version, depth):
     for a, b in zip(flat_a, flat_b):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize("version,depth", [("v8", 1), ("v8", 2),
+                                            ("v5u", 2), ("v11", 2)])
+def test_s2d_packed_train_matches_plain(version, depth):
+    """TRAIN-mode packed region (make_train_step packed_depth): forward,
+    parameter gradients AND updated BatchNorm stats under
+    s2d_packed_input(allow_train=True) on the packed canvas == the plain
+    train forward on the unpacked input. depth 1 = stem emits packed +
+    conv1 consumes; depth 2 = conv1 emits too and the layer-2 CSP block
+    (C2f / C3 / C3k2) runs on the packed grid with real parity-axis BN
+    (nn/common.py packed_batch_norm)."""
+    from yolosharp_tpu.nn.common import host_space_to_depth2, s2d_packed_input
+
+    cfg = ArchCfg(version=version, size="n", task="detect", nc=8)
+    net, variables, _ = _init(cfg)
+    rng = np.random.default_rng(31)
+    xin = np.asarray(rng.uniform(0, 1, (2, 64, 64, 3)), np.float32)
+    packed = jnp.asarray(host_space_to_depth2(xin))
+
+    def make_loss(use_packed):
+        def loss(params, x):
+            import contextlib
+            ctx = (s2d_packed_input(deep=depth >= 1,
+                                    deeper=max(0, depth - 1),
+                                    allow_train=True)
+                   if use_packed else contextlib.nullcontext())
+            with ctx:
+                preds, upd = net.apply(
+                    {"params": params,
+                     "batch_stats": variables["batch_stats"]},
+                    x, True, mutable=["batch_stats"])
+            s = sum(jnp.sum(v * v)
+                    for v in jax.tree_util.tree_leaves(preds))
+            return s, upd["batch_stats"]
+        return loss
+
+    (l0, st0), g0 = jax.value_and_grad(make_loss(False), has_aux=True)(
+        variables["params"], jnp.asarray(xin))
+    (l1, st1), g1 = jax.value_and_grad(make_loss(True), has_aux=True)(
+        variables["params"], packed)
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-4)
+    flat0 = jax.tree_util.tree_leaves_with_path(g0)
+    flat1 = jax.tree_util.tree_leaves(g1)
+    assert len(flat0) == len(flat1)
+    for (path, a), b in zip(flat0, flat1):
+        a, b = np.asarray(a), np.asarray(b)
+        # atol scales with the leaf's magnitude: the untrained net's
+        # sum-of-squares loss produces O(1e2) grads whose f32
+        # reassociation noise (packed BN reduces the parity axis in a
+        # different order) is relative to that scale, not absolute
+        # (5e-4: v11 depth-2 showed 3.2e-4*max on a downstream bn leaf)
+        np.testing.assert_allclose(
+            b, a, rtol=5e-3, atol=1e-4 + 5e-4 * float(np.abs(a).max()),
+            err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}")
+    for (path, a), b in zip(jax.tree_util.tree_leaves_with_path(st0),
+                            jax.tree_util.tree_leaves(st1)):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-6,
+            err_msg=f"batch_stats mismatch at {jax.tree_util.keystr(path)}")

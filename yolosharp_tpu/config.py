@@ -189,6 +189,20 @@ class Config:
     # throughput in 3/3 pairs on v5e (v8n-320 b16). No effect on
     # host-prepared (non-device-augment) batches.
     train_packed_render: bool = True
+    # Depth of the s2d-packed TRAIN region (requires train_packed_render
+    # and the device-augment path): 0 = stem-only repacked conv (above),
+    # 1 = the stem EMITS packed and conv1 consumes (deep), 2 = conv1 also
+    # emits packed and the layer-2 CSP block (C2f/C3/C3k2-plain) runs
+    # entirely on the packed grid (deeper). Real BatchNorm over the
+    # exposed parity axis — stats/grads exactly match the plain path
+    # (nn/common.py packed_batch_norm; oracle test in test_fuse.py).
+    # Default 2 = measured winner on v5e (scripts/perf_train_tuning.py
+    # v8n-320 b16, 4/4 pairs: depth 2 = 7.0-7.8 ms/step vs depth 1 =
+    # 8.6-9.1 vs depth 0 = 10.3-10.9 vs gather render = 19.5; see
+    # BASELINE.md round-4 rows). Auto-gated per arch in tasks.py like
+    # host_s2d_deeper (depth 2 needs a packed-rewritable layer-2 CSP
+    # block; ineligible arches clamp to 1).
+    train_packed_depth: int = 2
     # Separable device-augment render: when the warp is axis-aligned
     # (degrees == shear == perspective == 0 — the reference's default
     # hyps), the whole mosaic+scale+translate+flip bilinear sample is

@@ -122,6 +122,24 @@ def batch_norm(y, train: bool, name: str = "bn"):
                         epsilon=1e-3, dtype=y.dtype, name=name)(y)
 
 
+def packed_batch_norm(y, train: bool, order: str = "p", name: str = "bn"):
+    """BatchNorm on an s2d-PACKED tensor with stats per ORIGINAL channel.
+
+    The parity axis is exposed by a free trailing-dims reshape and joins
+    the reduction axes, so the packed statistics equal the plain path's
+    exactly (the packed tensor holds every original pixel once) and the
+    scale/bias/running-stat leaves keep the plain (C,) shapes —
+    checkpoints and the unpacked path stay interchangeable. order "p" =
+    parity-major channels (p*C + c), "c" = c-major (c*4 + p)."""
+    b, h, w, c4 = y.shape
+    c = c4 // 4
+    bn = nn.BatchNorm(use_running_average=not train, momentum=0.97,
+                      epsilon=1e-3, dtype=y.dtype, name=name,
+                      axis=-1 if order == "p" else -2)
+    yr = y.reshape((b, h, w, 4, c) if order == "p" else (b, h, w, c, 4))
+    return bn(yr).reshape(b, h, w, c4)
+
+
 # ---------------------------------------------------------------------------
 # Pallas conv routing (TPU inference): the early small-channel 3x3 convs
 # run at 2-5% MFU under XLA's layout choices; kernels/conv3x3.py is 3-7x
@@ -225,6 +243,13 @@ def s2d_deep_active() -> bool:
     return getattr(_S2D_PACKED, "deep", False)
 
 
+def s2d_packed_train_active() -> bool:
+    """Whether the deep/deeper packed region also applies to TRAIN-mode
+    forwards (real BatchNorm on the packed tensor via packed_batch_norm;
+    stats and gradients exact — see s2d_packed_input(allow_train=True))."""
+    return getattr(_S2D_PACKED, "train_ok", False)
+
+
 def _s2d_pending() -> int:
     """Unpacked channel count of an s2d-packed tensor flowing between two
     consecutive ConvBN calls under deep packing (0 = none)."""
@@ -258,7 +283,7 @@ def _s2d_final_plain() -> bool:
 
 @contextlib.contextmanager
 def s2d_packed_input(enable: bool = True, deep: bool = False,
-                     deeper: int = 0):
+                     deeper: int = 0, allow_train: bool = False):
     """Trace-time switch: the network input is ALREADY 2x2 space-to-depth
     packed on the host (host_space_to_depth2). The stem — the first
     stride-2 3x3 ConvBN, recognized by its packed 12-channel input — runs
@@ -285,16 +310,25 @@ def s2d_packed_input(enable: bool = True, deep: bool = False,
     4x MXU lane occupancy; the small-channel high-res convs this targets
     were measured at ~4.5% MFU, docs/ROUND_NOTES.md) — then the next
     stride-2 ConvBN consumes the packed tensor with the FLOP-neutral
-    unpack repack. Anything ineligible fails the trace loudly."""
+    unpack repack. Anything ineligible fails the trace loudly.
+
+    allow_train extends the deep/deeper region to TRAIN-mode forwards:
+    the packed convs run with REAL BatchNorm whose reduction includes the
+    exposed parity axis (packed_batch_norm), so stats, gradients and the
+    param tree are exactly the plain path's. Requires the packed canvas
+    input (the device-augment render emits it for free —
+    data/device_augment.py packed=True)."""
     prev, prev_deep = s2d_packed_active(), s2d_deep_active()
     prev_pending = _s2d_pending()
     prev_deeper = _s2d_deeper_left()
     prev_final = _s2d_final_plain()
+    prev_train = s2d_packed_train_active()
     _S2D_PACKED.on = enable
     _S2D_PACKED.deep = enable and (deep or bool(deeper))
     _S2D_PACKED.pending = 0
     _S2D_PACKED.deeper_left = int(deeper) if enable else 0
     _S2D_PACKED.final_plain = enable and int(deeper) >= 2
+    _S2D_PACKED.train_ok = enable and allow_train
     try:
         yield
     finally:
@@ -303,6 +337,7 @@ def s2d_packed_input(enable: bool = True, deep: bool = False,
         _S2D_PACKED.pending = prev_pending
         _S2D_PACKED.deeper_left = prev_deeper
         _S2D_PACKED.final_plain = prev_final
+        _S2D_PACKED.train_ok = prev_train
 
 
 def repack_s2d_kernel(kernel):
@@ -578,8 +613,10 @@ class ConvBN(nn.Module):
         # packed; this conv consumes it as the exact 2x2 stride-1 repacked
         # conv and emits a plain tensor. Only the first post-stem layer can
         # see a pending flag; anything ineligible fails the trace loudly
-        # rather than silently mis-compute.
-        if _s2d_pending() and not train and fused_inference_active():
+        # rather than silently mis-compute. Train-mode forwards take the
+        # same branch under allow_train (real BN; stats/grads exact).
+        if _s2d_pending() and ((not train and fused_inference_active())
+                               or (train and s2d_packed_train_active())):
             c1 = _s2d_pending()
             _s2d_set_pending(0)
             if not (self.k == 3 and self.s == 2 and self.d == 1
@@ -601,8 +638,11 @@ class ConvBN(nn.Module):
                 y = jax.lax.conv_general_dilated(
                     x, keff.astype(x.dtype), (2, 2), pad,
                     dimension_numbers=("NHWC", "HWIO", "NHWC"))
-                bias = _BiasParam(self.c2, name="bn")()
-                y = y + jnp.tile(bias, 4).astype(y.dtype)
+                if train:
+                    y = packed_batch_norm(y, train, "p")
+                else:
+                    bias = _BiasParam(self.c2, name="bn")()
+                    y = y + jnp.tile(bias, 4).astype(y.dtype)
                 _s2d_set_pending(self.c2)
                 return ACTS[self.act](y)
             y = jax.lax.conv_general_dilated(
@@ -661,18 +701,23 @@ class ConvBN(nn.Module):
         if use_packed:
             kernel = _KernelParam((self.k, self.k, 3, self.c2),
                                   name="conv")()
-            if s2d_deep_active() and not train:
+            if s2d_deep_active() and (not train
+                                      or s2d_packed_train_active()):
                 # emit the stem output space-to-depth packed too (stride-2
                 # conv over the packed input; pure weights transform) and
                 # flag the next ConvBN to consume it. Folded-BN bias is
-                # per original channel, tiled over the 4 parity blocks.
+                # per original channel, tiled over the 4 parity blocks;
+                # train mode runs real BN over the exposed parity axis.
                 keff, pad = repack_s2d_kernel_deep(
                     kernel, autopad(self.k, self.p, self.d))
                 y = jax.lax.conv_general_dilated(
                     x, keff.astype(x.dtype), (2, 2), pad,
                     dimension_numbers=("NHWC", "HWIO", "NHWC"))
-                bias = _BiasParam(self.c2, name="bn")()
-                y = y + jnp.tile(bias, 4).astype(y.dtype)
+                if train:
+                    y = packed_batch_norm(y, train, "p")
+                else:
+                    bias = _BiasParam(self.c2, name="bn")()
+                    y = y + jnp.tile(bias, 4).astype(y.dtype)
                 _s2d_set_pending(self.c2)
                 return ACTS[self.act](y)
             if self.k == 3:
@@ -1108,6 +1153,79 @@ class _BottleneckParams(nn.Module):
         return k1, b1, k2, b2
 
 
+class _PConvBN(nn.Module):
+    """TRAIN-mode ConvBN on the s2d-packed grid: the original (k,k,C,O)
+    stride-1 kernel runs as its packed->packed equivalent
+    (repack_s2d_kernel_p2p) with real BatchNorm over the exposed parity
+    axis (packed_batch_norm). Param tree identical to ConvBN's
+    (conv.kernel + bn.{scale,bias,mean,var}); stats and grads exact."""
+
+    c2: int
+    k: int = 1
+    in_order: str = "p"
+    out_order: str = "p"
+    act: str = "silu"
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        c1 = x.shape[-1] // 4
+        kernel = _KernelParam((self.k, self.k, c1, self.c2), name="conv")()
+        keff, pad = repack_s2d_kernel_p2p(kernel, in_order=self.in_order,
+                                          out_order=self.out_order)
+        y = jax.lax.conv_general_dilated(
+            x, keff.astype(x.dtype), (1, 1), pad,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        y = packed_batch_norm(y, train, self.out_order)
+        return ACTS[self.act](y)
+
+
+class _PBottleneck(nn.Module):
+    """TRAIN-mode Bottleneck body on the packed grid (c-major in/out);
+    the shortcut add stays in the caller, matching the folded
+    _BottleneckParams consumers. Param tree identical to Bottleneck's."""
+
+    c: int
+    hidden: Optional[int] = None
+    k: Tuple[int, int] = (3, 3)
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        h = self.c if self.hidden is None else self.hidden
+        y = _PConvBN(h, self.k[0], in_order="c", out_order="c",
+                     name="cv1")(x, train)
+        return _PConvBN(self.c, self.k[1], in_order="c", out_order="c",
+                        name="cv2")(y, train)
+
+
+def _packed_csp_conv(x, c2, k, train, in_order, out_order, name):
+    """One packed-grid ConvBN inside a deeper-region CSP block: folded
+    params + bias under fused inference, real-BN _PConvBN in train."""
+    if train:
+        return _PConvBN(c2, k, in_order=in_order, out_order=out_order,
+                        name=name)(x, train)
+    w, b = _ConvBNParams((k, k, x.shape[-1] // 4, c2), c2, name=name)()
+    return _pconv_bn(x, w, b, in_order=in_order, out_order=out_order)
+
+
+def _packed_csp_bottleneck(x, c, train, hidden=None, k=(3, 3), name=""):
+    """Bottleneck body on the packed grid (c-major; shortcut add stays in
+    the caller)."""
+    if train:
+        return _PBottleneck(c, hidden=hidden, k=k, name=name)(x, train)
+    wm1, bm1, wm2, bm2 = _BottleneckParams(x.shape[-1] // 4, c,
+                                           hidden=hidden, k=k, name=name)()
+    h = _pconv_bn(x, wm1, bm1, in_order="c", out_order="c")
+    return _pconv_bn(h, wm2, bm2, in_order="c", out_order="c")
+
+
+def _s2d_region_live(train: bool) -> bool:
+    """Whether a pending packed tensor should be consumed on the packed
+    grid in this mode (fused inference, or train under allow_train)."""
+    return bool(_s2d_pending()) and (
+        (not train and fused_inference_active())
+        or (train and s2d_packed_train_active()))
+
+
 class C2f(nn.Module):
     """Fast CSP bottleneck with n cascaded splits. Block.cs:371-399."""
 
@@ -1127,28 +1245,22 @@ class C2f(nn.Module):
         # FLOPs for full MXU lanes) — and emit packed for the next
         # stride-2 ConvBN to consume. Internal tensors are c-major so the
         # reference's channel split/concat (Block.cs:371-399) stays a
-        # contiguous slice; boundary tensors are p-major. Exact.
-        if (_s2d_pending() and not train and fused_inference_active()
-                and len(x.shape) == 4):
+        # contiguous slice; boundary tensors are p-major. Exact. Train
+        # mode (allow_train) runs the same graph with real packed BN.
+        if _s2d_region_live(train) and len(x.shape) == 4:
             c1 = _s2d_pending()
             _s2d_set_pending(0)
             if not (self.g == 1 and x.shape[-1] == 4 * c1):
                 raise ValueError(
                     "s2d deeper packing: C2f after conv1 is not eligible "
                     f"(g={self.g}, cin={x.shape[-1]}, expected {4 * c1})")
-            w1, b1 = _ConvBNParams((1, 1, c1, 2 * c), 2 * c, name="cv1")()
-            y0 = _pconv_bn(x, w1, b1, in_order="p", out_order="c")
+            y0 = _packed_csp_conv(x, 2 * c, 1, train, "p", "c", "cv1")
             ys = [y0[..., :4 * c], y0[..., 4 * c:]]   # c-major: contiguous
             for i in range(self.n):
-                wm1, bm1, wm2, bm2 = _BottleneckParams(
-                    c, c, name=f"m.{i}")()
-                h = _pconv_bn(ys[-1], wm1, bm1, in_order="c", out_order="c")
-                h = _pconv_bn(h, wm2, bm2, in_order="c", out_order="c")
+                h = _packed_csp_bottleneck(ys[-1], c, train, name=f"m.{i}")
                 ys.append(ys[-1] + h if self.shortcut else h)
-            w2, b2 = _ConvBNParams((1, 1, (2 + self.n) * c, self.c2),
-                                   self.c2, name="cv2")()
-            out = _pconv_bn(jnp.concatenate(ys, -1), w2, b2,
-                            in_order="c", out_order="p")
+            out = _packed_csp_conv(jnp.concatenate(ys, -1), self.c2, 1,
+                                   train, "c", "p", "cv2")
             if _s2d_deeper_left() == 0 and _s2d_final_plain():
                 return depth_to_space2(out)   # skip-source block: unpack
             _s2d_set_pending(self.c2)
@@ -1194,29 +1306,23 @@ class C3(nn.Module):
         c_ = int(self.c2 * self.e)
         # deeper-packing handshake — the packed-grid rewrite for the v5u
         # layer-2 C3 (parallel cv1/cv2 1x1s + (1,3)-kernel bottlenecks +
-        # cv3); same machinery as the C2f branch. Exact.
-        if (_s2d_pending() and not train and fused_inference_active()
-                and len(x.shape) == 4):
+        # cv3); same machinery as the C2f branch. Exact. Train mode
+        # (allow_train) runs the same graph with real packed BN.
+        if _s2d_region_live(train) and len(x.shape) == 4:
             c1 = _s2d_pending()
             _s2d_set_pending(0)
             if not (self.g == 1 and x.shape[-1] == 4 * c1):
                 raise ValueError(
                     "s2d deeper packing: C3 after conv1 is not eligible "
                     f"(g={self.g}, cin={x.shape[-1]}, expected {4 * c1})")
-            w1, b1 = _ConvBNParams((1, 1, c1, c_), c_, name="cv1")()
-            a = _pconv_bn(x, w1, b1, in_order="p", out_order="c")
+            a = _packed_csp_conv(x, c_, 1, train, "p", "c", "cv1")
             for i in range(self.n):
-                wm1, bm1, wm2, bm2 = _BottleneckParams(
-                    c_, c_, k=self.m_kernels, name=f"m.{i}")()
-                h = _pconv_bn(a, wm1, bm1, in_order="c", out_order="c")
-                h = _pconv_bn(h, wm2, bm2, in_order="c", out_order="c")
+                h = _packed_csp_bottleneck(a, c_, train, k=self.m_kernels,
+                                           name=f"m.{i}")
                 a = a + h if self.shortcut else h
-            w2, b2 = _ConvBNParams((1, 1, c1, c_), c_, name="cv2")()
-            bb = _pconv_bn(x, w2, b2, in_order="p", out_order="c")
-            w3, b3 = _ConvBNParams((1, 1, 2 * c_, self.c2), self.c2,
-                                   name="cv3")()
-            out = _pconv_bn(jnp.concatenate([a, bb], -1), w3, b3,
-                            in_order="c", out_order="p")
+            bb = _packed_csp_conv(x, c_, 1, train, "p", "c", "cv2")
+            out = _packed_csp_conv(jnp.concatenate([a, bb], -1), self.c2,
+                                   1, train, "c", "p", "cv3")
             if _s2d_deeper_left() == 0 and _s2d_final_plain():
                 return depth_to_space2(out)   # skip-source block: unpack
             _s2d_set_pending(self.c2)
@@ -1294,9 +1400,9 @@ class C3k2(nn.Module):
         c = int(self.c2 * self.e)
         # deeper-packing handshake — same packed-grid rewrite as C2f (see
         # there); covers the v11/v12 layer-2 C3k2 with plain bottlenecks
-        # (c3k=False, the n/s sizes). Exact.
-        if (_s2d_pending() and not train and fused_inference_active()
-                and len(x.shape) == 4):
+        # (c3k=False, the n/s sizes). Exact. Train mode (allow_train)
+        # runs the same graph with real packed BN.
+        if _s2d_region_live(train) and len(x.shape) == 4:
             c1 = _s2d_pending()
             _s2d_set_pending(0)
             if not (self.g == 1 and not self.c3k
@@ -1305,19 +1411,15 @@ class C3k2(nn.Module):
                     "s2d deeper packing: C3k2 after conv1 is not eligible "
                     f"(g={self.g}, c3k={self.c3k}, cin={x.shape[-1]}, "
                     f"expected {4 * c1})")
-            w1, b1 = _ConvBNParams((1, 1, c1, 2 * c), 2 * c, name="cv1")()
-            y0 = _pconv_bn(x, w1, b1, in_order="p", out_order="c")
+            y0 = _packed_csp_conv(x, 2 * c, 1, train, "p", "c", "cv1")
             ys = [y0[..., :4 * c], y0[..., 4 * c:]]
             for i in range(self.n):
-                wm1, bm1, wm2, bm2 = _BottleneckParams(
-                    c, c, hidden=int(c * 0.5), name=f"m.{i}")()
-                h = _pconv_bn(ys[-1], wm1, bm1, in_order="c", out_order="c")
-                h = _pconv_bn(h, wm2, bm2, in_order="c", out_order="c")
+                h = _packed_csp_bottleneck(ys[-1], c, train,
+                                           hidden=int(c * 0.5),
+                                           name=f"m.{i}")
                 ys.append(ys[-1] + h if self.shortcut else h)
-            w2, b2 = _ConvBNParams((1, 1, (2 + self.n) * c, self.c2),
-                                   self.c2, name="cv2")()
-            out = _pconv_bn(jnp.concatenate(ys, -1), w2, b2,
-                            in_order="c", out_order="p")
+            out = _packed_csp_conv(jnp.concatenate(ys, -1), self.c2, 1,
+                                   train, "c", "p", "cv2")
             if _s2d_deeper_left() == 0 and _s2d_final_plain():
                 return depth_to_space2(out)   # skip-source block: unpack
             _s2d_set_pending(self.c2)

@@ -434,12 +434,22 @@ class BaseTask:
         # dense interpolation matmuls instead of gathers — exact semantics
         sep_render = (cfg.separable_render and cfg.degrees == 0
                       and cfg.shear == 0 and cfg.perspective == 0)
+        # packed TRAIN region depth (Config.train_packed_depth): depth 2
+        # needs a packed-rewritable layer-2 CSP block, same eligibility
+        # as the predict-side host_s2d_deeper gate (_apply_eval)
+        ver, size = self.arch.version, self.arch.size
+        deeper_ok = (ver in ("v8", "v5u")
+                     or (ver in ("v11", "v12") and size in ("n", "s")))
+        packed_depth = (min(cfg.train_packed_depth, 1 if not deeper_ok
+                            else cfg.train_packed_depth)
+                        if cfg.train_packed_render else 0)
         step_fn = make_train_step(self.net, train_loss_fn,
                                   compute_dtype=cfg.compute_dtype, mesh=mesh,
                                   dynamic_loss_scale=cfg.true_fp16,
                                   fsdp=use_fsdp,
                                   packed_stem=cfg.train_packed_render,
-                                  separable_render=sep_render)
+                                  separable_render=sep_render,
+                                  packed_depth=packed_depth)
 
         stopper = EarlyStopping(cfg.patience)
         best_fitness = -float("inf")

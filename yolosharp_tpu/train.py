@@ -200,7 +200,8 @@ def make_train_step(net, loss_fn, *, compute_dtype=jnp.float32,
                     max_loss_scale: float = 65536.0,
                     fsdp: bool = False,
                     packed_stem: bool = False,
-                    separable_render: bool = False):
+                    separable_render: bool = False,
+                    packed_depth: int = 0):
     """Build the jitted data-parallel train step.
 
     loss_fn(preds, batch, **loss_kwargs) -> (scalar_loss, items).
@@ -224,6 +225,14 @@ def make_train_step(net, loss_fn, *, compute_dtype=jnp.float32,
     (capped) after scale_growth_interval consecutive finite steps.
     bf16/fp32 training leaves it off — TPU bf16 needs no scaling. Create
     the TrainState with init_scale=65536.0 when enabling.
+
+    packed_depth (requires packed_stem, i.e. the device-rendered packed
+    canvas) extends the s2d-packed region into TRAIN-mode forwards:
+    1 = the stem emits packed and conv1 consumes (deep), 2 = conv1 also
+    emits packed and the layer-2 CSP block runs on the packed grid
+    (deeper). Real BatchNorm over the exposed parity axis — stats and
+    gradients exactly match the plain path (nn/common.py
+    packed_batch_norm; oracle test in tests/test_fuse.py).
     """
 
     def step_fn(state: TrainState, batch: Dict, loss_kwargs: Dict):
@@ -239,8 +248,10 @@ def make_train_step(net, loss_fn, *, compute_dtype=jnp.float32,
             from .nn.common import s2d_packed_input
 
             variables = {"params": params, "batch_stats": state.batch_stats}
-            ctx = (s2d_packed_input() if packed_stem
-                   else contextlib.nullcontext())
+            ctx = (s2d_packed_input(deep=packed_depth >= 1,
+                                    deeper=max(0, packed_depth - 1),
+                                    allow_train=packed_depth >= 1)
+                   if packed_stem else contextlib.nullcontext())
             with ctx:
                 preds, updates = net.apply(variables, images, True,
                                            mutable=["batch_stats"])
