@@ -172,6 +172,9 @@ def measure_train():
     sep = (cfg.separable_render and cfg.degrees == 0 and cfg.shear == 0
            and cfg.perspective == 0)
     packed = cfg.train_packed_render
+    # packed TRAIN region depth (v8 has a packed-rewritable layer-2 C2f,
+    # so the full configured depth applies — same gate as tasks.py train)
+    depth = cfg.train_packed_depth if packed else 0
 
     net = YoloNet(ArchCfg(version="v8", size="n", task="detect", nc=80))
     variables = net.init(jax.random.PRNGKey(0),
@@ -209,8 +212,10 @@ def measure_train():
 
         def one_step(st, _):
             def loss_of(params):
-                ctx = (s2d_packed_input() if packed
-                       else contextlib.nullcontext())
+                ctx = (s2d_packed_input(deep=depth >= 1,
+                                        deeper=max(0, depth - 1),
+                                        allow_train=depth >= 1)
+                       if packed else contextlib.nullcontext())
                 with ctx:
                     preds, upd = net.apply(
                         {"params": params, "batch_stats": st.batch_stats},
@@ -242,7 +247,8 @@ def measure_train():
             "train_vs_r3": round(ips / ROUND3_TRAIN_IPS, 3),
             "train_config": (f"v8n-{s} b{b} detect+render"
                              f"{'+sep' if sep else ''}"
-                             f"{'+pack' if packed else ''}")}
+                             f"{'+pack' if packed else ''}"
+                             f"{f'+d{depth}' if depth else ''}")}
 
 
 def main():

@@ -32,7 +32,8 @@ import perf_train_tuning as T
 def main():
     trace_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/xprof_train"
     render = os.environ.get("YS_RENDER", "0") == "1"
-    kw = (dict(render=True, packed_render=True, separable=True)
+    kw = (dict(render=True, packed_render=True, separable=True,
+               packed_depth=2)   # the shipped Config defaults
           if render else {})
     # batch sweep: same model, b16/b32/b64 (n-labels fixed at 16)
     for b in (16, 32, 64):
