@@ -263,10 +263,12 @@ def w3_v8n_finetune_loop(imgsz=320, epochs=3):
     # bench measures the shipped default path, not the gather control.
     sep = (cfg.separable_render and cfg.degrees == 0 and cfg.shear == 0
            and cfg.perspective == 0)
+    # v8 has a packed-rewritable layer-2 C2f -> full configured depth
+    depth = cfg.train_packed_depth if cfg.train_packed_render else 0
     step_fn = make_train_step(task.net, loss_fn,
                               compute_dtype=cfg.compute_dtype, donate=False,
                               packed_stem=cfg.train_packed_render,
-                              separable_render=sep)
+                              separable_render=sep, packed_depth=depth)
 
     # --- attribution probes (VERDICT r2 weak #3: separate host batch
     # production from transfer from device compute) ---

@@ -186,10 +186,18 @@ def assign(pd_scores: jnp.ndarray,      # (B, A, nc) sigmoided
     fg_mask = fg > 0
 
     # --- gather targets (Tal.cs:170-199) ---
-    tl = jnp.take_along_axis(gt_labels, target_gt_idx, axis=1)
+    # one-hot matmul over the small gt axis M, not take_along_axis: the
+    # (B, A) label / (B, A, C) box gathers were the two largest single
+    # ops of the round-4 packed train step (0.37 ms of 4.2 ms device
+    # time, xprof hlo_stats) — they lower HBM-bound on TPU while the
+    # dense (B, A, M) dot rides the MXU. Exact: one 1.0 per row selects
+    # integer-valued labels / f32 boxes without rounding.
+    pos_oh = jax.nn.one_hot(target_gt_idx, m, dtype=jnp.float32)
+    tl = jnp.einsum("bam,bm->ba", pos_oh, gt_labels.astype(jnp.float32))
     target_labels = jnp.clip(tl, 0).astype(jnp.int32)
-    target_bboxes = jnp.take_along_axis(
-        gt_bboxes, target_gt_idx[..., None], axis=1)
+    target_bboxes = jnp.einsum(
+        "bam,bmc->bac", pos_oh,
+        gt_bboxes.astype(jnp.float32)).astype(gt_bboxes.dtype)
     target_scores = jax.nn.one_hot(target_labels, num_classes,
                                    dtype=pd_scores.dtype)
     target_scores = target_scores * fg_mask[..., None]
