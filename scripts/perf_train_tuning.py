@@ -86,10 +86,12 @@ def build(render: bool = False):
 
 
 def make_run(net, compiler_options=None, s2d_train=0, packed_render=False,
-             render=False, separable=False, packed_depth=0):
+             render=False, separable=False, packed_depth=0,
+             flax=False):
     import contextlib
 
-    from yolosharp_tpu.nn.common import s2d_packed_input, s2d_stride2
+    from yolosharp_tpu.nn.common import flax_bn, s2d_packed_input, \
+        s2d_stride2
 
     def scan_steps(state, batch):
         if render:
@@ -115,7 +117,9 @@ def make_run(net, compiler_options=None, s2d_train=0, packed_render=False,
                                         deeper=max(0, packed_depth - 1),
                                         allow_train=packed_depth >= 1)
                        if packed_render else contextlib.nullcontext())
-                with s2d_stride2(s2d_train, allow_train=s2d_train > 0), ctx:
+                bctx = flax_bn() if flax else contextlib.nullcontext()
+                with s2d_stride2(s2d_train, allow_train=s2d_train > 0), \
+                        ctx, bctx:
                     preds, upd = net.apply(variables, images, True,
                                            mutable=["batch_stats"])
                 loss, items = detection_loss(preds["one2many"], batch,
@@ -181,8 +185,12 @@ def main():
         # real parity-axis BN. Both ride the separable packed render.
         ("sppd1", None, 0, True),
         ("sppd2", None, 0, True),
+        # the shipped packed-train default with flax's f32-materializing
+        # BatchNorm instead of FastBN (measures the FastBN win on the
+        # headline program; ctrl for this is sppd2 itself)
+        ("sppd2flax", None, 0, True),
     ]
-    depths = {"sppd1": 1, "sppd2": 2}
+    depths = {"sppd1": 1, "sppd2": 2, "sppd2flax": 2}
     runs = []
     for name, opts, s2d, prender in cands:
         if want and name not in want:
@@ -193,8 +201,10 @@ def main():
                                         render=render or prender
                                         or name in ("render", "sep"),
                                         separable=name in ("sep", "seppack",
-                                                           "sppd1", "sppd2"),
-                                        packed_depth=depths.get(name, 0))))
+                                                           "sppd1", "sppd2",
+                                                           "sppd2flax"),
+                                        packed_depth=depths.get(name, 0),
+                                        flax=name.endswith("flax"))))
         except Exception as e:
             print(f"{name}: UNSUPPORTED ({type(e).__name__}: {e})",
                   flush=True)

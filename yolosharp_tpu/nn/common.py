@@ -113,13 +113,84 @@ class FoldedBN(nn.Module):
         return x + bias.astype(x.dtype)
 
 
+class FastBN(nn.Module):
+    """BatchNorm with half-precision normalize (TPU train-path fix).
+
+    flax's nn.BatchNorm force-promotes the whole normalize chain
+    ((x - mean) * mul + bias) to float32 when the stats are f32 —
+    materializing full-size f32 copies between every train-mode conv and
+    its activation. xprof attribution measured that chain at 25.7% +
+    9.2% (data-formatting copies + lane pads) of the v12x-640 E2E OBB
+    train step. This module computes the statistics exactly like flax
+    (f32 reduces that XLA fuses with the convert, fast variance
+    E[x^2] - E[x]^2, clipped at 0) but folds them into per-channel
+    k = scale * rsqrt(var + eps) and b = bias - mean * k ((C,)-shaped
+    f32 scalars) and applies x * k + b IN THE INPUT DTYPE — one fused
+    fma, no f32 materialization. The param/batch_stats tree is identical
+    to nn.BatchNorm's (scale/bias + mean/var, (C,) f32), so checkpoints
+    and every fold/mapping path interchange. Gradients flow through
+    mean/var exactly as in flax (reassociation-level fp differences
+    only)."""
+
+    momentum: float = 0.97
+    epsilon: float = 1e-3
+    axis: int = -1
+
+    @nn.compact
+    def __call__(self, x, use_running_average: bool):
+        ax = self.axis % x.ndim
+        c = x.shape[ax]
+        red = tuple(i for i in range(x.ndim) if i != ax)
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((c,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((c,), jnp.float32))
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            xf = x.astype(jnp.float32)
+            mean = jnp.mean(xf, red)
+            var = jnp.maximum(jnp.mean(xf * xf, red) - mean * mean, 0.0)
+            if not self.is_initializing():
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1 - m) * mean
+                ra_var.value = m * ra_var.value + (1 - m) * var
+        k = scale * jax.lax.rsqrt(var + self.epsilon)
+        b = bias - mean * k
+        shape = [1] * x.ndim
+        shape[ax] = c
+        return (x * k.reshape(shape).astype(x.dtype)
+                + b.reshape(shape).astype(x.dtype))
+
+
+_FLAXBN = threading.local()
+
+
+@contextlib.contextmanager
+def flax_bn():
+    """Trace-time MEASUREMENT CONTROL: build the traced call with flax's
+    nn.BatchNorm (f32-materializing normalize chain) instead of FastBN.
+    Exists so paired perf harnesses can A/B the two in one process; never
+    used on a production path."""
+    prev = getattr(_FLAXBN, "on", False)
+    _FLAXBN.on = True
+    try:
+        yield
+    finally:
+        _FLAXBN.on = prev
+
+
 def batch_norm(y, train: bool, name: str = "bn"):
     """BN with reference numerics (eps 1e-3, torch momentum 0.03), or the
     folded bias add under fused_inference()."""
     if not train and fused_inference_active():
         return FoldedBN(name=name)(y)
-    return nn.BatchNorm(use_running_average=not train, momentum=0.97,
-                        epsilon=1e-3, dtype=y.dtype, name=name)(y)
+    if getattr(_FLAXBN, "on", False):
+        return nn.BatchNorm(use_running_average=not train, momentum=0.97,
+                            epsilon=1e-3, dtype=y.dtype, name=name)(y)
+    return FastBN(name=name)(y, not train)
 
 
 def packed_batch_norm(y, train: bool, order: str = "p", name: str = "bn"):
@@ -133,11 +204,15 @@ def packed_batch_norm(y, train: bool, order: str = "p", name: str = "bn"):
     parity-major channels (p*C + c), "c" = c-major (c*4 + p)."""
     b, h, w, c4 = y.shape
     c = c4 // 4
-    bn = nn.BatchNorm(use_running_average=not train, momentum=0.97,
-                      epsilon=1e-3, dtype=y.dtype, name=name,
-                      axis=-1 if order == "p" else -2)
+    ax = -1 if order == "p" else -2
     yr = y.reshape((b, h, w, 4, c) if order == "p" else (b, h, w, c, 4))
-    return bn(yr).reshape(b, h, w, c4)
+    if getattr(_FLAXBN, "on", False):
+        out = nn.BatchNorm(use_running_average=not train, momentum=0.97,
+                           epsilon=1e-3, dtype=y.dtype, name=name,
+                           axis=ax)(yr)
+    else:
+        out = FastBN(name=name, axis=ax)(yr, not train)
+    return out.reshape(b, h, w, c4)
 
 
 # ---------------------------------------------------------------------------
@@ -960,8 +1035,7 @@ class RepConv(nn.Module):
         y = y + ConvBN(self.c2, 1, self.s, 0, self.g, act="identity",
                        name="conv2")(x, train)
         if self.use_bn and x.shape[-1] == self.c2 and self.s == 1:
-            y = y + nn.BatchNorm(use_running_average=not train, momentum=0.97,
-                                 epsilon=1e-3, dtype=x.dtype, name="bn")(x)
+            y = y + FastBN(name="bn")(x, not train)
         return ACTS[self.act](y)
 
 
