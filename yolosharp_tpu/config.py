@@ -239,6 +239,10 @@ class Config:
     # bucket shape dominates its batches) so an arbitrary-size val set
     # compiles O(buckets) eval programs instead of O(batches). 0 = exact
     # per-batch shapes (reference behavior, one compile per shape).
+    # PARITY CAVEAT: bucketed batches carry extra 114-border padding (the
+    # bucket max shape vs the batch's own max), so default val metrics can
+    # drift slightly from reference-protocol numbers; set 0 when comparing
+    # mAP side-by-side against the reference.
     val_shape_buckets: int = 4
     # Print a one-line advisory at train start when the per-chip batch
     # underfills the chip (measured v5e occupancy: b16->b64 is 1.8x

@@ -509,9 +509,15 @@ def mosaic_perspective_images(pool, plan_arrays, imgsz: int,
         # callers here whenever the plan is concrete (host arrays). Under
         # jit tracers the values are unseeable — the host gate stands.
         minv_a, persp_a = plan_arrays[3], plan_arrays[4]
-        if not isinstance(minv_a, jax.core.Tracer):
-            m = np.asarray(minv_a)
-            if (np.asarray(persp_a).any() or np.abs(m[:, 0, 1]).max() > 0
+        try:
+            # concretize instead of isinstance(x, jax.core.Tracer): the
+            # jax.core access path is deprecated and the conversion error
+            # is the stable cross-version signal for "traced"
+            m, pa = np.asarray(minv_a), np.asarray(persp_a)
+        except jax.errors.TracerArrayConversionError:
+            m = pa = None
+        if m is not None:
+            if (pa.any() or np.abs(m[:, 0, 1]).max() > 0
                     or np.abs(m[:, 1, 0]).max() > 0):
                 raise ValueError(
                     "separable=True requires an axis-aligned warp "

@@ -251,10 +251,12 @@ def bucket_shapes(shapes, max_buckets: int):
         cuts.append((j, i))
         i = j
     cuts.reverse()
-    bucket_of = {}
+    # emit by distinct-RUN position, not by shape value: the same (h, w)
+    # can appear in two non-adjacent runs assigned to different buckets,
+    # and a shape-keyed dict would give both runs the later bucket
+    out = []
     for j, i in cuts:
         h = max(d[0] for d in distinct[j:i])
         w = max(d[1] for d in distinct[j:i])
-        for d in distinct[j:i]:
-            bucket_of[d] = (h, w)
-    return [bucket_of[s] for s in shapes]
+        out.extend([(h, w)] * sum(counts[j:i]))
+    return out

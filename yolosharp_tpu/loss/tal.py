@@ -192,12 +192,17 @@ def assign(pd_scores: jnp.ndarray,      # (B, A, nc) sigmoided
     # time, xprof hlo_stats) — they lower HBM-bound on TPU while the
     # dense (B, A, M) dot rides the MXU. Exact: one 1.0 per row selects
     # integer-valued labels / f32 boxes without rounding.
+    # precision=HIGHEST: default matmul precision runs f32 einsums as
+    # bf16 passes on TPU, which would quantize gt pixel coords (~2px at
+    # 640) and round integer labels above 256 to wrong class ids. The
+    # selection is 0/1 so HIGHEST makes it exact at negligible cost.
     pos_oh = jax.nn.one_hot(target_gt_idx, m, dtype=jnp.float32)
-    tl = jnp.einsum("bam,bm->ba", pos_oh, gt_labels.astype(jnp.float32))
+    tl = jnp.einsum("bam,bm->ba", pos_oh, gt_labels.astype(jnp.float32),
+                    precision=jax.lax.Precision.HIGHEST)
     target_labels = jnp.clip(tl, 0).astype(jnp.int32)
     target_bboxes = jnp.einsum(
-        "bam,bmc->bac", pos_oh,
-        gt_bboxes.astype(jnp.float32)).astype(gt_bboxes.dtype)
+        "bam,bmc->bac", pos_oh, gt_bboxes.astype(jnp.float32),
+        precision=jax.lax.Precision.HIGHEST).astype(gt_bboxes.dtype)
     target_scores = jax.nn.one_hot(target_labels, num_classes,
                                    dtype=pd_scores.dtype)
     target_scores = target_scores * fg_mask[..., None]

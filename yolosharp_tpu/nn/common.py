@@ -491,7 +491,8 @@ def repack_s2d_kernel_deep(kernel, p: Optional[int] = None):
     seln = jnp.asarray(sel, kernel.dtype)
     # W'[sy,sx, (py px c), (qy qx o)] = sum_{jy,jx} sel[sy,py,qy,jy]
     #                                  * sel[sx,px,qx,jx] * w[jy,jx,c,o]
-    w = jnp.einsum("aeiy,bfjx,yxco->abefijco", seln, seln, kernel)
+    w = jnp.einsum("aeiy,bfjx,yxco->abefijco", seln, seln, kernel,
+                   precision=jax.lax.Precision.HIGHEST)
     w = w.transpose(0, 1, 2, 3, 6, 4, 5, 7)     # (sy,sx,py,px,c,qy,qx,o)
     t = w.shape[0]
     return (w.reshape(t, t, 4 * c, 4 * o),
@@ -536,7 +537,8 @@ def repack_s2d_kernel_p2p(kernel, stride: int = 1, p: Optional[int] = None,
     c, o = kernel.shape[2], kernel.shape[3]
     sel, pad_lo, pad_hi, _ = _s2d_deep_sel(k, p, stride)
     seln = jnp.asarray(sel, kernel.dtype)
-    w = jnp.einsum("aeiy,bfjx,yxco->abefijco", seln, seln, kernel)
+    w = jnp.einsum("aeiy,bfjx,yxco->abefijco", seln, seln, kernel,
+                   precision=jax.lax.Precision.HIGHEST)
     # dims: (sy, sx, py, px, qy, qx, c, o)
     if in_order == "p":
         w = w.transpose(0, 1, 2, 3, 6, 4, 5, 7)  # (sy,sx,py,px,c,qy,qx,o)
