@@ -51,9 +51,18 @@ ROUND1_IPS = 1110.53
 # was ~19 ms (842 img/s). vs_train_r3 is computed against the
 # render-inclusive number (same program class as this row).
 TRAIN_BATCH, TRAIN_IMGSZ, TRAIN_ITERS = 16, 320, 10
+# fallback when XLA cost analysis is unavailable; the reported train MFU
+# uses the exact per-program FLOPs from
+# jit(...).lower().compile().cost_analysis() (VERDICT r4 #6)
 TRAIN_GFLOPS_PER_IMG = 8.7 / 4 * 3   # v8n fwd @320 ~= 8.7/4, train ~= 3x
 ROUND3_TRAIN_IPS = 842.0
+ROUND4_TRAIN_B64_IPS = 2896.0   # BASELINE.md round-3 batch sweep (22.1 ms)
+ROUND4_V12X_OBB_MS = 121.0      # BASELINE.md round-4 FastBN family row
 BENCH_TRAIN = os.environ.get("BENCH_TRAIN", "1") == "1"
+# the measured-occupancy point (b64) and the v11m/v12x family rows — the
+# BASELINE workload-4/5 program classes the b16 protocol row never sees
+BENCH_TRAIN_B64 = os.environ.get("BENCH_TRAIN_B64", "1") == "1"
+BENCH_FAMILY = os.environ.get("BENCH_FAMILY", "1") == "1"
 S2D_MAX_CIN = int(os.environ.get("BENCH_S2D", "0"))
 # int8 PTQ measured a LOSS on v5e (885.6 vs 1451 img/s same config +
 # parity-gate fail at the 0.25-threshold boundary — ROUND_NOTES round 3);
@@ -89,6 +98,10 @@ DEEPER_S2D = os.environ.get("BENCH_DEEPER_S2D", "1") == "1"
 # depth-2 region (conv2 + layer-4 C2f too; the layer-4 skip output
 # unpacks via one depth-to-space at 1/4 resolution).
 DEEPER2_S2D = os.environ.get("BENCH_DEEPER2_S2D", "1") == "1"
+# head-tower first-conv fusion (cv2.i.0 + cv3.i.0 share the input map —
+# one (c2+c3)-channel 3x3, split; exact). The r4 occupancy arithmetic
+# called it a wash; this measures it (VERDICT r4 #4a).
+HEAD_FUSE = os.environ.get("BENCH_HEAD_FUSE", "1") == "1"
 
 
 def build_calibrated_v8s(key, batch=BATCH, imgsz=IMGSZ):
@@ -150,10 +163,24 @@ def build_calibrated_v8s(key, batch=BATCH, imgsz=IMGSZ):
     return net, variables, fused_vars, x, n_cand
 
 
-def measure_train():
-    """Production train-step throughput (v8n-320 b16 detect, device-augment
+def _cost_flops(lowered_compiled):
+    """Total FLOPs of a compiled XLA program, or None if unavailable."""
+    try:
+        ca = lowered_compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        f = float(ca.get("flops", 0.0))
+        return f if f > 0 else None
+    except Exception:
+        return None
+
+
+def measure_train(b=TRAIN_BATCH, prefix="train"):
+    """Production train-step throughput (v8n-320 detect, device-augment
     render included, shipped Config defaults for the render/stem path).
-    Returns a dict of train_* keys for the bench JSON."""
+    MFU denominator comes from XLA cost analysis of the exact compiled
+    program (falls back to the published-FLOPs estimate).
+    Returns a dict of {prefix}_* keys for the bench JSON."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -166,7 +193,7 @@ def measure_train():
     from yolosharp_tpu.train import (TrainState, make_optimizer,
                                      resolve_batch_images)
 
-    b, s = TRAIN_BATCH, TRAIN_IMGSZ
+    s = TRAIN_IMGSZ
     cfg = Config(image_size=s, batch_size=b)
     # the production gating (tasks.py train): axis-aligned default hyps
     sep = (cfg.separable_render and cfg.degrees == 0 and cfg.shear == 0
@@ -235,20 +262,77 @@ def measure_train():
         _, losses = jax.lax.scan(one_step, state, None, length=TRAIN_ITERS)
         return losses[-1].astype(jnp.float32)
 
-    float(scan_steps(state, batch))          # compile + warm
+    compiled = scan_steps.lower(state, batch).compile()
+    flops = _cost_flops(compiled)            # whole scan = ITERS steps
+    gflops_per_img = (flops / TRAIN_ITERS / b / 1e9 if flops
+                      else TRAIN_GFLOPS_PER_IMG)
+    float(compiled(state, batch))            # warm
     t0 = time.perf_counter()
-    float(scan_steps(state, batch))
+    float(compiled(state, batch))
     dt = (time.perf_counter() - t0) / TRAIN_ITERS
     ips = b / dt
-    mfu = ips * TRAIN_GFLOPS_PER_IMG / 1e3 / PEAK_TFLOPS
-    return {"train_ips": round(ips, 2),
-            "train_ms_per_step": round(dt * 1e3, 2),
-            "train_mfu": round(mfu, 4),
-            "train_vs_r3": round(ips / ROUND3_TRAIN_IPS, 3),
-            "train_config": (f"v8n-{s} b{b} detect+render"
-                             f"{'+sep' if sep else ''}"
-                             f"{'+pack' if packed else ''}"
-                             f"{f'+d{depth}' if depth else ''}")}
+    mfu = ips * gflops_per_img / 1e3 / PEAK_TFLOPS
+    out = {f"{prefix}_ips": round(ips, 2),
+           f"{prefix}_ms_per_step": round(dt * 1e3, 2),
+           f"{prefix}_mfu": round(mfu, 4),
+           f"{prefix}_gflops_per_img_xla": (round(gflops_per_img, 2)
+                                            if flops else None),
+           f"{prefix}_config": (f"v8n-{s} b{b} detect+render"
+                                f"{'+sep' if sep else ''}"
+                                f"{'+pack' if packed else ''}"
+                                f"{f'+d{depth}' if depth else ''}")}
+    if prefix == "train":
+        out["train_vs_r3"] = round(ips / ROUND3_TRAIN_IPS, 3)
+    return out
+
+
+def measure_family_obb():
+    """Driver-visible BASELINE workload-5 row: YOLOv12x-640 End2End OBB
+    train step (batch 4, bf16, dual-head rotated TAL + angle loss) — the
+    m/x-size program class the v8n train row never exercises. Same program
+    as scripts/bench_workloads.py w5 (host-images step, per-call timing)
+    so the series stays comparable with the recorded family rows."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from yolosharp_tpu.loss import e2e_wrap, obb_loss
+    from yolosharp_tpu.nn import ArchCfg, YoloNet
+    from yolosharp_tpu.train import (TrainState, make_optimizer,
+                                     make_train_step)
+
+    rng = np.random.default_rng(0)
+    cfg = ArchCfg(version="v12", size="x", task="obb", nc=15, end2end=True)
+    net = YoloNet(cfg)
+    variables = net.init(jax.random.PRNGKey(0),
+                         jnp.zeros((1, 640, 640, 3), jnp.float32), False)
+    loss_fn = e2e_wrap(
+        lambda preds, batch, **kw: obb_loss(preds, batch, nc=15),
+        lambda preds, batch, **kw: obb_loss(preds, batch, nc=15, tal_topk=1))
+    tx = make_optimizer(nc=15, epochs=2, steps_per_epoch=4)
+    state = TrainState.create(variables, tx)
+    step_fn = make_train_step(net, loss_fn, compute_dtype=jnp.bfloat16,
+                              donate=False)
+    bboxes = np.concatenate(
+        [rng.uniform(0.2, 0.6, (4, 8, 4)),
+         rng.uniform(-0.7, 0.7, (4, 8, 1))], -1).astype(np.float32)
+    batch = jax.device_put({
+        "images": rng.uniform(0, 255, (4, 640, 640, 3)).astype(np.uint8),
+        "cls": rng.integers(0, 15, (4, 8)).astype(np.int32),
+        "bboxes": bboxes,
+        "mask_gt": np.ones((4, 8), bool),
+    })
+    kw = {"o2m_gain": 0.8, "o2o_gain": 1.0}
+    st, loss, _ = step_fn(state, batch, kw)     # compile
+    float(loss)
+    t0 = time.perf_counter()
+    for _ in range(5):
+        st, loss, _ = step_fn(st, batch, kw)
+    float(loss)
+    dt = (time.perf_counter() - t0) / 5
+    return {"v12x_obb_ms_per_step": round(dt * 1e3, 2),
+            "v12x_obb_ips": round(4 / dt, 2),
+            "v12x_obb_vs_r4": round(ROUND4_V12X_OBB_MS / (dt * 1e3), 3)}
 
 
 def main():
@@ -269,11 +353,15 @@ def main():
 
     from yolosharp_tpu.nn import s2d_packed_input
 
-    def make_predict(int8, packed=False, deep=False, deeper=False):
+    def make_predict(int8, packed=False, deep=False, deeper=False,
+                     headfuse=False):
+        from yolosharp_tpu.nn.common import head_fuse
+
         def predict(v, im):
             with fused_inference(), pallas_conv(False), \
                     s2d_stride2(S2D_MAX_CIN), quant_int8(int8), \
-                    s2d_packed_input(packed, deep=deep, deeper=deeper):
+                    s2d_packed_input(packed, deep=deep, deeper=deeper), \
+                    head_fuse(headfuse):
                 preds = net.apply(v, im, False)
             if TOPK_DECODE:
                 dec, trunc = decode_inference_topk(
@@ -370,6 +458,17 @@ def main():
                 tag = "+seldec" if TOPK_DECODE else ""
                 result = {"config": f"bf16+hosts2d-deeper2{tag}",
                           "dt": dt_deeper2}
+        if HEAD_FUSE:
+            # head-tower first-conv fusion stacked on the deeper region
+            dt_hf = measure(make_predict(int8=False, packed=True,
+                                         deeper=1, headfuse=True),
+                            fused_vars, im=xp, tune=False)
+            extra.update(hosts2d_deeper_headfuse_ips=round(
+                BATCH / dt_hf, 2))
+            if dt_hf < result["dt"]:
+                tag = "+seldec" if TOPK_DECODE else ""
+                result = {"config": f"bf16+hosts2d-deeper-headfuse{tag}",
+                          "dt": dt_hf}
 
     if TRY_INT8:
         # per-workload activation calibration through the measured graph
@@ -419,10 +518,31 @@ def main():
 
     if BENCH_TRAIN:
         extra.update(measure_train())
+        if BENCH_TRAIN_B64:
+            # the measured-occupancy point (BASELINE round-3 batch sweep):
+            # user-buyable throughput at the saturating batch
+            b64 = measure_train(b=64, prefix="train_b64")
+            b64["train_b64_vs_r4"] = round(
+                b64["train_b64_ips"] / ROUND4_TRAIN_B64_IPS, 3)
+            extra.update(b64)
+    if BENCH_FAMILY:
+        extra.update(measure_family_obb())
+
+    # predict MFU cross-check: exact FLOPs of the compiled forward+decode+
+    # NMS program from XLA cost analysis vs the published 28.6 GFLOPs
+    try:
+        pc = jax.jit(bf16_predict).lower(fused_vars, x).compile()
+        pflops = _cost_flops(pc)
+    except Exception:
+        pflops = None
 
     dt = result["dt"]
     ips = BATCH / dt
     mfu = ips * GFLOPS_PER_IMG / 1e3 / PEAK_TFLOPS
+    if pflops:
+        gpi = pflops / BATCH / 1e9
+        extra.update(predict_gflops_per_img_xla=round(gpi, 2),
+                     mfu_xla=round(ips * gpi / 1e3 / PEAK_TFLOPS, 4))
     print(json.dumps({
         "metric": "images/sec/chip YOLOv8s-640 predict (batch 32, "
                   f"{result['config']}, fused conv+BN, incl. decode + "

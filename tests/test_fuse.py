@@ -87,6 +87,37 @@ def test_fused_inference_mode_matches_unfused():
                                    rtol=2e-3, atol=2e-3)
 
 
+def test_head_fuse_matches_plain_fused():
+    """head_fuse(): the per-level cv2/cv3 first-conv concat rewrite ==
+    the plain fused forward (exact — output-axis kernel concat), incl.
+    the E2E dual-head towers."""
+    from yolosharp_tpu.nn import fused_inference
+    from yolosharp_tpu.nn.common import head_fuse
+
+    import jax.tree_util as jtu
+
+    cfg = ArchCfg(version="v8", size="n", task="detect", nc=8,
+                  end2end=True)
+    net, variables, _ = _init(cfg)
+    variables = dict(variables)
+    variables["batch_stats"] = jtu.tree_map_with_path(
+        lambda p, v: v + 0.1 if p[-1].key == "mean" else v * 1.5 + 0.01,
+        variables["batch_stats"])
+    rng = np.random.default_rng(37)
+    xin = jnp.asarray(rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32))
+    fused_vars = fold_bn(variables)
+    with fused_inference():
+        before = net.apply(fused_vars, xin, False)
+    with fused_inference(), head_fuse():
+        after = net.apply(fused_vars, xin, False)
+    flat_b = jax.tree_util.tree_leaves(before)
+    flat_a = jax.tree_util.tree_leaves(after)
+    assert len(flat_a) == len(flat_b)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
+
+
 def test_s2d_repack_exact():
     """space_to_depth2 + repacked 2x2/s1 kernel == original 3x3/s2 conv
     (nn/common.py s2d rewrite; reference stem semantics Convs.cs:44-62)."""
@@ -312,11 +343,15 @@ def test_s2d_p2p_repack_exact():
                     err_msg=f"k={k} s={s} {in_o}->{out_o}")
 
 
-@pytest.mark.parametrize("version,depth", [("v8", 1), ("v8", 2),
-                                            ("v5u", 1), ("v5u", 2),
-                                            ("v11", 1), ("v11", 2),
-                                            ("v12", 1), ("v12", 2)])
-def test_s2d_deeper_packed_matches_plain_forward(version, depth):
+@pytest.mark.parametrize("version,size,depth",
+                         [("v8", "n", 1), ("v8", "n", 2),
+                          ("v5u", "n", 1), ("v5u", "n", 2),
+                          ("v11", "n", 1), ("v11", "n", 2),
+                          ("v12", "n", 1), ("v12", "n", 2),
+                          # m sizes: C3k2 with C3k inner blocks on the
+                          # packed grid (_PackedC3k)
+                          ("v11", "m", 1), ("v11", "m", 2)])
+def test_s2d_deeper_packed_matches_plain_forward(version, size, depth):
     """Full-model fused predict under s2d_packed_input(deeper=depth) —
     stem and the next `depth` stride-2 convs emit space-to-depth packed
     and the CSP block after each (C2f / C3k2 / C3) runs entirely on the
@@ -329,7 +364,7 @@ def test_s2d_deeper_packed_matches_plain_forward(version, depth):
 
     import jax.tree_util as jtu
 
-    cfg = ArchCfg(version=version, size="n", task="detect", nc=8)
+    cfg = ArchCfg(version=version, size=size, task="detect", nc=8)
     net, variables, _ = _init(cfg)
     variables = dict(variables)
     variables["batch_stats"] = jtu.tree_map_with_path(
@@ -350,9 +385,12 @@ def test_s2d_deeper_packed_matches_plain_forward(version, depth):
                                    rtol=2e-3, atol=2e-3)
 
 
-@pytest.mark.parametrize("version,depth", [("v8", 1), ("v8", 2),
-                                            ("v5u", 2), ("v11", 2)])
-def test_s2d_packed_train_matches_plain(version, depth):
+@pytest.mark.parametrize("version,size,depth",
+                         [("v8", "n", 1), ("v8", "n", 2),
+                          ("v5u", "n", 2), ("v11", "n", 2),
+                          # m size: _PackedC3k with real packed-axis BN
+                          ("v11", "m", 2)])
+def test_s2d_packed_train_matches_plain(version, size, depth):
     """TRAIN-mode packed region (make_train_step packed_depth): forward,
     parameter gradients AND updated BatchNorm stats under
     s2d_packed_input(allow_train=True) on the packed canvas == the plain
@@ -362,7 +400,7 @@ def test_s2d_packed_train_matches_plain(version, depth):
     (nn/common.py packed_batch_norm)."""
     from yolosharp_tpu.nn.common import host_space_to_depth2, s2d_packed_input
 
-    cfg = ArchCfg(version=version, size="n", task="detect", nc=8)
+    cfg = ArchCfg(version=version, size=size, task="detect", nc=8)
     net, variables, _ = _init(cfg)
     rng = np.random.default_rng(31)
     xin = np.asarray(rng.uniform(0, 1, (2, 64, 64, 3)), np.float32)

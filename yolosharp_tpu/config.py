@@ -180,6 +180,13 @@ class Config:
     # 2207 vs 1894 img/s same run — 32.1% MFU). Auto-ignored for
     # non-v8 architectures (layer 2 must be a C2f).
     host_s2d_deeper: bool = True
+    # Head-tower first-conv fusion (legacy heads, fused inference only):
+    # each level's cv2.i.0 and cv3.i.0 read the same feature map — run
+    # them as ONE (c2+c3)-channel 3x3 and split (exact: output-axis
+    # kernel concat; tests/test_fuse.py::test_head_fuse_matches_plain
+    # _fused). Round-4 occupancy arithmetic called it a wash; measured
+    # round 5 — see BASELINE.md (bench.py BENCH_HEAD_FUSE candidate).
+    head_tower_fuse: bool = False
     # TRAIN-side packing for the device-augment path: the mosaic render's
     # coordinate grid is a compile-time constant, so the canvas is emitted
     # 2x2 space-to-depth packed at ZERO cost (the gather writes the packed

@@ -100,6 +100,41 @@ def fused_inference():
         _FUSED.on = prev
 
 
+_HEADFUSE = threading.local()
+
+
+def head_fuse_active() -> bool:
+    return getattr(_HEADFUSE, "on", False)
+
+
+@contextlib.contextmanager
+def head_fuse(enable: bool = True):
+    """Trace-time switch: the detection head's per-level cv2/cv3 FIRST
+    convs (both 3x3 on the same feature map) run as ONE concatenated conv
+    (c2+c3 output channels) and split — exact (kernel/bias concat along
+    the output axis), fused-inference only. Measurement lever for the
+    head-tower lane-occupancy question (ROUND_NOTES r4)."""
+    prev = head_fuse_active()
+    _HEADFUSE.on = bool(enable)
+    try:
+        yield
+    finally:
+        _HEADFUSE.on = prev
+
+
+class _Conv2dParams(nn.Module):
+    """Declares Conv2d's leaves (kernel + bias) without running it."""
+
+    shape: Tuple[int, ...]
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", torch_kernel_init, self.shape)
+        fan_in = self.shape[0] * self.shape[1] * self.shape[2]
+        b = self.param("bias", torch_bias_init(fan_in), (self.shape[-1],))
+        return k, b
+
+
 class FoldedBN(nn.Module):
     """Stand-in for a BatchNorm folded into its conv: y = x + bias.
 
@@ -1294,6 +1329,32 @@ def _packed_csp_bottleneck(x, c, train, hidden=None, k=(3, 3), name=""):
     return _pconv_bn(h, wm2, bm2, in_order="c", out_order="c")
 
 
+class _PackedC3k(nn.Module):
+    """C3k (C3 with (3,3) bottleneck kernels, Block.cs:611-620) entirely on
+    the c-major packed grid — the inner block of an m/l/x C3k2 inside the
+    deeper s2d region. Param tree identical to C3k's (cv1/cv2/cv3 +
+    m.{i}.cv1/cv2); folded 1x1/3-tap packed convs under fused inference,
+    real packed-axis BN in train. Exact (tests/test_fuse.py)."""
+
+    c2: int
+    n: int = 2
+    shortcut: bool = True
+    k: Tuple[int, int] = (3, 3)
+    e: float = 0.5
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c2 * self.e)
+        a = _packed_csp_conv(x, c_, 1, train, "c", "c", "cv1")
+        for i in range(self.n):
+            h = _packed_csp_bottleneck(a, c_, train, k=self.k,
+                                       name=f"m.{i}")
+            a = a + h if self.shortcut else h
+        b = _packed_csp_conv(x, c_, 1, train, "c", "c", "cv2")
+        return _packed_csp_conv(jnp.concatenate([a, b], -1), self.c2, 1,
+                                train, "c", "c", "cv3")
+
+
 def _s2d_region_live(train: bool) -> bool:
     """Whether a pending packed tensor should be consumed on the packed
     grid in this mode (fused inference, or train under allow_train)."""
@@ -1481,15 +1542,20 @@ class C3k2(nn.Module):
         if _s2d_region_live(train) and len(x.shape) == 4:
             c1 = _s2d_pending()
             _s2d_set_pending(0)
-            if not (self.g == 1 and not self.c3k
-                    and x.shape[-1] == 4 * c1):
+            if not (self.g == 1 and x.shape[-1] == 4 * c1):
                 raise ValueError(
                     "s2d deeper packing: C3k2 after conv1 is not eligible "
-                    f"(g={self.g}, c3k={self.c3k}, cin={x.shape[-1]}, "
+                    f"(g={self.g}, cin={x.shape[-1]}, "
                     f"expected {4 * c1})")
             y0 = _packed_csp_conv(x, 2 * c, 1, train, "p", "c", "cv1")
             ys = [y0[..., :4 * c], y0[..., 4 * c:]]
             for i in range(self.n):
+                if self.c3k:
+                    # m/l/x inner block: a full C3k on the packed grid
+                    # (shortcut handled inside, as in the plain path)
+                    ys.append(_PackedC3k(c, 2, self.shortcut,
+                                         name=f"m.{i}")(ys[-1], train))
+                    continue
                 h = _packed_csp_bottleneck(ys[-1], c, train,
                                            hidden=int(c * 0.5),
                                            name=f"m.{i}")

@@ -39,6 +39,36 @@ class _Branch(nn.Module):
         return Conv2d(self.out, 1, use_bias=True, name="2")(x)
 
 
+class _BranchFolded(nn.Module):
+    """Folded-param holder matching the legacy _Branch tree (ConvBN 0/1 +
+    Conv2d 2) — consumed by the head_fuse path, which runs the convs
+    itself so the two towers' first convs can share one kernel."""
+
+    cin: int
+    mid: int
+    out: int
+
+    @nn.compact
+    def __call__(self):
+        from .common import _Conv2dParams, _ConvBNParams
+
+        k0, b0 = _ConvBNParams((3, 3, self.cin, self.mid), self.mid,
+                               name="0")()
+        k1, b1 = _ConvBNParams((3, 3, self.mid, self.mid), self.mid,
+                               name="1")()
+        k2, b2 = _Conv2dParams((1, 1, self.mid, self.out), name="2")()
+        return k0, b0, k1, b1, k2, b2
+
+
+def _raw_conv(x, k, b):
+    """Plain NHWC conv + bias (no activation)."""
+    p = k.shape[0] // 2
+    y = jax.lax.conv_general_dilated(
+        x, k.astype(x.dtype), (1, 1), ((p, p), (p, p)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return y + b.astype(y.dtype)
+
+
 class _SimpleBranch(nn.Module):
     """Conv-Conv-Conv2d tower (always legacy style) for cv4 extras."""
 
@@ -73,6 +103,32 @@ class Detect(nn.Module):
         nl = len(self.ch)
 
         def run(prefix, xs):
+            from .common import fused_inference_active, head_fuse_active
+
+            if (head_fuse_active() and fused_inference_active()
+                    and not train and self.legacy):
+                # per-level cv2/cv3 first convs share the input: run ONE
+                # (c2+c3)-channel 3x3 and split — exact (output-axis
+                # kernel concat); folded-inference only (head_fuse)
+                import jax.numpy as jnp
+
+                boxes, clss = [], []
+                for i in range(nl):
+                    x = xs[i]
+                    cin = x.shape[-1]
+                    f2 = _BranchFolded(cin, c2, 4 * self.reg_max,
+                                       name=f"{prefix}cv2.{i}")()
+                    f3 = _BranchFolded(cin, c3, self.nc,
+                                       name=f"{prefix}cv3.{i}")()
+                    kcat = jnp.concatenate([f2[0], f3[0]], -1)
+                    bcat = jnp.concatenate([f2[1], f3[1]], -1)
+                    y = jax.nn.silu(_raw_conv(x, kcat, bcat))
+                    y2, y3 = y[..., :c2], y[..., c2:]
+                    y2 = jax.nn.silu(_raw_conv(y2, f2[2], f2[3]))
+                    boxes.append(_raw_conv(y2, f2[4], f2[5]))
+                    y3 = jax.nn.silu(_raw_conv(y3, f3[2], f3[3]))
+                    clss.append(_raw_conv(y3, f3[4], f3[5]))
+                return {"box": tuple(boxes), "cls": tuple(clss)}
             boxes = tuple(
                 _Branch(c2, 4 * self.reg_max, True, name=f"{prefix}cv2.{i}")(
                     xs[i], train) for i in range(nl))

@@ -165,19 +165,20 @@ class BaseTask:
                         and getattr(self, "_quant_stats", None) is not None)
             # deeper-region eligibility: layer 2 (and 4, at depth 2) must
             # be a packed-rewritable CSP block — C2f (v8), C3 (v5u), or
-            # C3k2 with plain bottlenecks (v11/v12 n+s sizes; m/l/x use
-            # C3k inner blocks the packed rewrite doesn't cover)
-            ver, size = self.arch.version, self.arch.size
-            eligible = (ver in ("v8", "v5u")
-                        or (ver in ("v11", "v12") and size in ("n", "s")))
+            # C3k2 (v11/v12; plain bottlenecks at n/s, _PackedC3k inner
+            # blocks at m/l/x) — all four families, every size
+            eligible = self.arch.version in ("v8", "v5u", "v11", "v12")
             deeper = (int(self.config.host_s2d_deeper)
                       if (packed and self.config.host_s2d_deep and eligible)
                       else 0)
+            from .nn.common import head_fuse
+
             with fused_inference(), pallas_conv(use_pallas), \
                     s2d_stride2(self.config.s2d_max_cin), \
                     quant_int8(use_int8), s2d_packed_input(
                         packed, deep=packed and self.config.host_s2d_deep,
-                        deeper=deeper):
+                        deeper=deeper), \
+                    head_fuse(self.config.head_tower_fuse):
                 return self.net.apply(variables, images, False,
                                       skip_one2many=skip_one2many)
         assert not packed, "host_s2d requires Config.fuse_inference"
@@ -436,10 +437,9 @@ class BaseTask:
                       and cfg.shear == 0 and cfg.perspective == 0)
         # packed TRAIN region depth (Config.train_packed_depth): depth 2
         # needs a packed-rewritable layer-2 CSP block, same eligibility
-        # as the predict-side host_s2d_deeper gate (_apply_eval)
-        ver, size = self.arch.version, self.arch.size
-        deeper_ok = (ver in ("v8", "v5u")
-                     or (ver in ("v11", "v12") and size in ("n", "s")))
+        # as the predict-side host_s2d_deeper gate (_forward) — all four
+        # families at every size (m/l/x C3k inner blocks via _PackedC3k)
+        deeper_ok = self.arch.version in ("v8", "v5u", "v11", "v12")
         packed_depth = (min(cfg.train_packed_depth, 1 if not deeper_ok
                             else cfg.train_packed_depth)
                         if cfg.train_packed_render else 0)
