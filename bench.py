@@ -263,8 +263,11 @@ def measure_train(b=TRAIN_BATCH, prefix="train"):
         return losses[-1].astype(jnp.float32)
 
     compiled = scan_steps.lower(state, batch).compile()
-    flops = _cost_flops(compiled)            # whole scan = ITERS steps
-    gflops_per_img = (flops / TRAIN_ITERS / b / 1e9 if flops
+    # NB cost_analysis counts a lax.scan/while body ONCE regardless of
+    # trip count (verified empirically on this backend), so the program's
+    # reported flops already equal ONE train step
+    flops = _cost_flops(compiled)
+    gflops_per_img = (flops / b / 1e9 if flops
                       else TRAIN_GFLOPS_PER_IMG)
     float(compiled(state, batch))            # warm
     t0 = time.perf_counter()

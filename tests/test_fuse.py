@@ -446,3 +446,82 @@ def test_s2d_packed_train_matches_plain(version, size, depth):
         np.testing.assert_allclose(
             np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-6,
             err_msg=f"batch_stats mismatch at {jax.tree_util.keystr(path)}")
+
+
+@pytest.mark.parametrize("version,size,depth",
+                         [("v8", "n", 2), ("v11", "m", 2)])
+def test_host_batch_packed_train_matches_plain(version, size, depth):
+    """HOST-prepared batches (no aug_pool: letterbox trainings, the
+    close-mosaic tail, and the w4/w5 family benches) get the packed train
+    region via one in-graph uint8 space_to_depth2 in resolve_batch_images
+    (train.py). The full make_train_step with packed_stem=True on a host
+    `images` batch must produce the same loss/params/stats trajectory as
+    the unpacked step.
+
+    The loss here is a smooth pseudo-loss over every head output rather
+    than detection_loss: TAL's top-k has near-ties on random data, so a
+    1-ulp forward reassociation difference can flip an assignment and
+    make the comparison discontinuous (observed flaky on CPU). The full
+    detection-loss trajectory through the packed region is pinned by
+    test_s2d_packed_train_matches_plain; this test verifies the HOST-path
+    wiring (uint8 space_to_depth2 -> packed stem consume).
+
+    SGD (not AdamW) keeps the comparison well-conditioned: AdamW's first
+    step is ~lr*sign(grad), so elements whose true gradient is ~0 (pure
+    reassociation noise) would get uncorrelated +-lr updates. With SGD
+    the param delta is lr * grad-delta, i.e. the oracle really measures
+    gradient parity."""
+    import optax
+
+    from yolosharp_tpu.train import TrainState, make_train_step
+
+    cfg = ArchCfg(version=version, size=size, task="detect", nc=8)
+    net = YoloNet(cfg)
+    variables = net.init(jax.random.PRNGKey(5),
+                         jnp.zeros((1, 64, 64, 3), jnp.float32), False)
+    tx = optax.sgd(1e-3)
+    rng = np.random.default_rng(7)
+    batch = {
+        "images": rng.integers(0, 255, (2, 64, 64, 3)).astype(np.uint8),
+        "cls": rng.integers(0, 8, (2, 4)).astype(np.int32),
+        "bboxes": rng.uniform(0.2, 0.6, (2, 4, 4)).astype(np.float32),
+        "mask_gt": np.ones((2, 4), bool),
+    }
+
+    def loss_fn(preds, b, **kw):
+        leaves = jax.tree_util.tree_leaves(preds["one2many"])
+        loss = sum(jnp.mean(jnp.square(x.astype(jnp.float32)))
+                   for x in leaves)
+        return loss, jnp.zeros((3,), jnp.float32)
+
+    outs = []
+    for packed in (False, True):
+        step = make_train_step(net, loss_fn, compute_dtype=jnp.float32,
+                               donate=False, packed_stem=packed,
+                               packed_depth=depth if packed else 0)
+        st = TrainState.create(variables, tx)
+        st, loss, _ = step(st, batch, {})
+        outs.append((float(loss), st))
+    (l0, s0), (l1, s1) = outs
+    np.testing.assert_allclose(l1, l0, rtol=2e-4)
+    for (path, a), b in zip(
+            jax.tree_util.tree_leaves_with_path(s0.params),
+            jax.tree_util.tree_leaves(s1.params)):
+        # SGD step: param delta = lr * grad delta, so this bounds the
+        # gradient disagreement between the packed and plain paths. atol
+        # floor 1e-5 = grad diff 1e-2 at lr 1e-3: the packed BN reduces
+        # over a different summation tree (parity axis exposed), giving
+        # ~1e-6 reassociation-scale deltas on heavy-cancellation bias
+        # grads; a wiring bug (wrong parity order) would be O(1e-3).
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=5e-3,
+            atol=1e-5 + 1e-5 * float(np.abs(np.asarray(a)).max()),
+            err_msg=f"param mismatch at {jax.tree_util.keystr(path)}")
+    for (path, a), b in zip(
+            jax.tree_util.tree_leaves_with_path(s0.batch_stats),
+            jax.tree_util.tree_leaves(s1.batch_stats)):
+        # rtol 1e-3: f32 batch-mean/var reduce in a different layout
+        # order; wiring bugs would be O(1) off
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=1e-3, atol=1e-5,
+            err_msg=f"batch_stats mismatch at {jax.tree_util.keystr(path)}")

@@ -184,9 +184,12 @@ class Config:
     # each level's cv2.i.0 and cv3.i.0 read the same feature map — run
     # them as ONE (c2+c3)-channel 3x3 and split (exact: output-axis
     # kernel concat; tests/test_fuse.py::test_head_fuse_matches_plain
-    # _fused). Round-4 occupancy arithmetic called it a wash; measured
-    # round 5 — see BASELINE.md (bench.py BENCH_HEAD_FUSE candidate).
-    head_tower_fuse: bool = False
+    # _fused). Round-4 occupancy arithmetic called it a wash; round-5
+    # measurement says otherwise: +2.6% paired over the deeper-packed
+    # config on v5e (v8s-640 b32: 2053.9 vs 2001.3 img/s same run,
+    # bench.py BENCH_HEAD_FUSE) — default ON. No-op for non-legacy (v11/
+    # v12) cls towers, whose DWConv first stage can't concat-fuse.
+    head_tower_fuse: bool = True
     # TRAIN-side packing for the device-augment path: the mosaic render's
     # coordinate grid is a compile-time constant, so the canvas is emitted
     # 2x2 space-to-depth packed at ZERO cost (the gather writes the packed

@@ -438,7 +438,9 @@ class BaseTask:
         # packed TRAIN region depth (Config.train_packed_depth): depth 2
         # needs a packed-rewritable layer-2 CSP block, same eligibility
         # as the predict-side host_s2d_deeper gate (_forward) — all four
-        # families at every size (m/l/x C3k inner blocks via _PackedC3k)
+        # families at every size (m/l/x C3k inner blocks via _PackedC3k).
+        # Host-prepared batches (letterbox / close-mosaic tail) pack via
+        # one in-graph uint8 space_to_depth2 (resolve_batch_images)
         deeper_ok = self.arch.version in ("v8", "v5u", "v11", "v12")
         packed_depth = (min(cfg.train_packed_depth, 1 if not deeper_ok
                             else cfg.train_packed_depth)

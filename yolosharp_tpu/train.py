@@ -143,10 +143,20 @@ def resolve_batch_images(batch: Dict, compute_dtype, packed: bool = False,
 
     packed=True renders the canvas 2x2 space-to-depth packed (free: the
     gather's coordinate constants are enumerated in packed order) for the
-    stem's s2d_packed_input train-mode rewrite. Host-prepared batches stay
-    unpacked (the packed ConvBN branch simply never triggers on them)."""
+    stem's s2d_packed_input train-mode rewrite. Host-prepared batches pack
+    via one in-graph space_to_depth2 on the UINT8 tensor — a (B,H,W,3)
+    byte transpose (4x cheaper than post-normalize; ~15 us at b4-640) that
+    buys the whole packed train region for the host path too (letterbox
+    trainings and the close-mosaic tail; round-5 measurement in
+    BASELINE.md)."""
     if "aug_pool" not in batch:
-        return normalize_images(batch["images"], compute_dtype), batch
+        images = batch["images"]
+        if packed and images.ndim == 4 and images.shape[-1] == 3 \
+                and images.shape[1] % 2 == 0 and images.shape[2] % 2 == 0:
+            from .nn.common import space_to_depth2
+
+            images = space_to_depth2(images)
+        return normalize_images(images, compute_dtype), batch
     from .data.device_augment import (mosaic_perspective_images,
                                       mosaic_perspective_masks)
 
@@ -201,7 +211,8 @@ def make_train_step(net, loss_fn, *, compute_dtype=jnp.float32,
                     fsdp: bool = False,
                     packed_stem: bool = False,
                     separable_render: bool = False,
-                    packed_depth: int = 0):
+                    packed_depth: int = 0,
+                    compiler_options: Dict = None):
     """Build the jitted data-parallel train step.
 
     loss_fn(preds, batch, **loss_kwargs) -> (scalar_loss, items).
@@ -295,11 +306,16 @@ def make_train_step(net, loss_fn, *, compute_dtype=jnp.float32,
                                   loss_scale=new_scale, grow_count=new_grow)
         return new_state, loss, items
 
+    # per-program XLA overrides (e.g. Config.xla_train_tuning for the
+    # m/x-size 640px family steps); None = compiler defaults
+    copts = {"compiler_options": dict(compiler_options)} \
+        if compiler_options else {}
     if mesh is not None and fsdp:
         # shardings are inherited from the committed arguments (state via
         # fsdp_shard_state, batch via shard_batch); outputs follow GSPMD
         # propagation so new_state stays FSDP-sharded across steps
-        return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+        return jax.jit(step_fn, donate_argnums=(0,) if donate else (),
+                       **copts)
     if mesh is not None:
         bsh = batch_sharding(mesh)
         rep = replicated(mesh)
@@ -309,8 +325,9 @@ def make_train_step(net, loss_fn, *, compute_dtype=jnp.float32,
             out_shardings=(rep, rep, rep),
             donate_argnums=(0,) if donate else (),
             static_argnames=(),
+            **copts,
         )
-    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else (), **copts)
 
 
 def make_eval_step(net, loss_fn, decode_fn, *, compute_dtype=jnp.float32,
