@@ -314,8 +314,11 @@ def measure_family_obb():
         lambda preds, batch, **kw: obb_loss(preds, batch, nc=15, tal_topk=1))
     tx = make_optimizer(nc=15, epochs=2, steps_per_epoch=4)
     state = TrainState.create(variables, tx)
+    # shipped defaults: host batches pack via in-graph uint8 s2d
+    # (train_packed_depth=2; measured neutral-to-positive on this program,
+    # BASELINE.md round 5)
     step_fn = make_train_step(net, loss_fn, compute_dtype=jnp.bfloat16,
-                              donate=False)
+                              donate=False, packed_stem=True, packed_depth=2)
     bboxes = np.concatenate(
         [rng.uniform(0.2, 0.6, (4, 8, 4)),
          rng.uniform(-0.7, 0.7, (4, 8, 1))], -1).astype(np.float32)

@@ -343,8 +343,10 @@ def w4_v11_seg_pose():
                              jnp.zeros((1, 640, 640, 3), jnp.float32), False)
         tx = make_optimizer(nc=8, epochs=2, steps_per_epoch=4)
         state = TrainState.create(variables, tx)
+        # shipped defaults: host batches pack via in-graph uint8 s2d
         step_fn = make_train_step(net, mk_loss(), compute_dtype=jnp.bfloat16,
-                                  donate=False)
+                                  donate=False, packed_stem=True,
+                                  packed_depth=2)
         batch = synth_batch(rng, 8, 640, extra=extra)
         dt = time_train_steps(step_fn, state, batch, {})
         emit(4, f"YOLOv11{size}-{task} 640 train step (batch 8, bf16)",
@@ -369,8 +371,9 @@ def w5_v12x_e2e_obb():
     loss_fn = e2e_wrap(many, one)
     tx = make_optimizer(nc=15, epochs=2, steps_per_epoch=4)
     state = TrainState.create(variables, tx)
+    # shipped defaults: host batches pack via in-graph uint8 s2d
     step_fn = make_train_step(net, loss_fn, compute_dtype=jnp.bfloat16,
-                              donate=False)
+                              donate=False, packed_stem=True, packed_depth=2)
     bboxes = np.concatenate(
         [rng.uniform(0.2, 0.6, (4, 8, 4)),
          rng.uniform(-0.7, 0.7, (4, 8, 1))], -1).astype(np.float32)
