@@ -284,20 +284,49 @@ def segmentation_loss(preds: Dict, batch: Dict, *, nc: int,
     marea = xyxy2xywh(boxes_n)[..., 2:4].prod(-1)               # (B, F)
     mxyxy = boxes_n * jnp.asarray([mw, mh, mw, mh], jnp.float32)
 
-    def per_image(args):
-        coeff_i, gt_idx_i, masks_i, proto_i, mxyxy_i, marea_i, valid_i = args
-        pm = jnp.einsum("fc,hwc->fhw", coeff_i.astype(jnp.float32),
-                        proto_i.astype(jnp.float32))            # (F, mh, mw)
-        gt = (masks_i[None] == (gt_idx_i[:, None, None] + 1.0))
-        gt = gt.astype(jnp.float32)
-        l = bce_logits(pm, gt)
-        l = crop_mask(l, mxyxy_i).mean((1, 2)) / jnp.maximum(marea_i, 1e-7)
-        return (l * valid_i).sum()
+    # F-chunked, batch-vectorized mask loss. The round-5 xprof of the
+    # production v11m-seg step (scripts/profile_seg_render.py) showed the
+    # previous per-image lax.map serialized into an 8-iteration while
+    # loop whose (F, mh, mw) intermediates dominated the step (~42% loop
+    # fusion + DUS residual stacking): with M=168 padded labels, F =
+    # 10*168 slots materialize ~1.4 GB forward AND again as stacked scan
+    # residuals. Chunking F keeps the transient at (B, CH, mh, mw) and
+    # jax.checkpoint recomputes the chunk in backward instead of storing
+    # it. Exact same math (slot sum is order-independent).
+    ch = min(256, max_fg)
+    f = coeff.shape[1]
+    n_ch = -(-f // ch)
+    pad = n_ch * ch - f
 
-    per = jax.lax.map(per_image, (coeff, gt_idx, masks, proto, mxyxy,
-                                  marea.astype(jnp.float32),
-                                  valid.astype(jnp.float32)))
-    loss_seg = per.sum() / jnp.maximum(fg.sum(), 1.0)
+    def pad_ch(x):
+        cfg_pad = [(0, 0), (0, pad)] + [(0, 0)] * (x.ndim - 2)
+        x = jnp.pad(x, cfg_pad)
+        x = x.reshape(b, n_ch, ch, *x.shape[2:])
+        return jnp.moveaxis(x, 1, 0)                # (n_ch, B, CH, ...)
+
+    xs = (pad_ch(coeff), pad_ch(gt_idx.astype(jnp.float32)),
+          pad_ch(mxyxy), pad_ch(marea.astype(jnp.float32)),
+          pad_ch(valid.astype(jnp.float32)))
+    proto32 = proto.astype(jnp.float32)
+    masks_b = masks
+
+    @jax.checkpoint
+    def chunk_sum(args):
+        coeff_c, gt_idx_c, mxyxy_c, marea_c, valid_c = args
+        pm = jnp.einsum("bfc,bhwc->bfhw", coeff_c.astype(jnp.float32),
+                        proto32)                    # (B, CH, mh, mw)
+        gt = (masks_b[:, None] == (gt_idx_c[..., None, None] + 1.0))
+        l = bce_logits(pm, gt.astype(jnp.float32))
+        l = crop_mask(l.reshape(b * ch, mh, mw),
+                      mxyxy_c.reshape(b * ch, 4)).reshape(b, ch, mh, mw)
+        l = l.mean((2, 3)) / jnp.maximum(marea_c, 1e-7)
+        return (l * valid_c).sum()
+
+    def body(carry, args):
+        return carry + chunk_sum(args), None
+
+    total, _ = jax.lax.scan(body, jnp.zeros(()), xs)
+    loss_seg = total / jnp.maximum(fg.sum(), 1.0)
 
     # optional semantic-seg branch (Loss.cs:745-770): BCE+Dice over
     # preds["semseg"] logits (B, h, w, nc) vs one-hot batch["sem_masks"]
