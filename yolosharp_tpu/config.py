@@ -185,11 +185,14 @@ class Config:
     # them as ONE (c2+c3)-channel 3x3 and split (exact: output-axis
     # kernel concat; tests/test_fuse.py::test_head_fuse_matches_plain
     # _fused). Round-4 occupancy arithmetic called it a wash; round-5
-    # measurement says otherwise: +2.6% paired over the deeper-packed
-    # config on v5e (v8s-640 b32: 2053.9 vs 2001.3 img/s same run,
-    # bench.py BENCH_HEAD_FUSE) — default ON. No-op for non-legacy (v11/
-    # v12) cls towers, whose DWConv first stage can't concat-fuse.
-    head_tower_fuse: bool = True
+    # MEASURED it properly: one-shot bench runs disagreed (+2.6 / -0.6 /
+    # +0.2 / -1.7%), and the decisive 6-pair interleaved probe
+    # (scripts/perf_headfuse_probe.py) reads -2.5..+0.2%, losing 5/6
+    # pairs (mean -1.1%) — the concat re-tiles both tower inputs for no
+    # lane gain at these widths. Default OFF; kernel + exactness test
+    # kept as the record. No-op for non-legacy (v11/v12) cls towers,
+    # whose DWConv first stage can't concat-fuse.
+    head_tower_fuse: bool = False
     # TRAIN-side packing for the device-augment path: the mosaic render's
     # coordinate grid is a compile-time constant, so the canvas is emitted
     # 2x2 space-to-depth packed at ZERO cost (the gather writes the packed
