@@ -212,7 +212,8 @@ def make_train_step(net, loss_fn, *, compute_dtype=jnp.float32,
                     packed_stem: bool = False,
                     separable_render: bool = False,
                     packed_depth: int = 0,
-                    compiler_options: Dict = None):
+                    compiler_options: Dict = None,
+                    remat: bool = False):
     """Build the jitted data-parallel train step.
 
     loss_fn(preds, batch, **loss_kwargs) -> (scalar_loss, items).
@@ -253,7 +254,7 @@ def make_train_step(net, loss_fn, *, compute_dtype=jnp.float32,
         scale = (state.loss_scale if dynamic_loss_scale
                  else jnp.asarray(1.0, jnp.float32))
 
-        def loss_of(params):
+        def fwd(params, images):
             import contextlib
 
             from .nn.common import s2d_packed_input
@@ -264,8 +265,18 @@ def make_train_step(net, loss_fn, *, compute_dtype=jnp.float32,
                                     allow_train=packed_depth >= 1)
                    if packed_stem else contextlib.nullcontext())
             with ctx:
-                preds, updates = net.apply(variables, images, True,
-                                           mutable=["batch_stats"])
+                return net.apply(variables, images, True,
+                                 mutable=["batch_stats"])
+
+        if remat:
+            # recompute the forward in backward instead of saving every
+            # activation: trades ~1 extra forward of MXU FLOPs for the
+            # saved-activation HBM writes + layout copies (a measured win
+            # only on layout-bound programs - see BASELINE.md round 5)
+            fwd = jax.checkpoint(fwd)
+
+        def loss_of(params):
+            preds, updates = fwd(params, images)
             loss, items = loss_fn(preds, batch, **loss_kwargs)
             return loss * scale, (items, updates["batch_stats"])
 
